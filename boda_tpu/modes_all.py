@@ -1,0 +1,13 @@
+"""Import every module that registers CLI modes (the mode census lives here)."""
+
+# Registration happens at import time via @register("mode", ...) decorators.
+# Keep this list sorted; gate optional-dependency modules with try/except.
+
+_MODE_MODULES = [
+    "boda_tpu.modes.basic",
+]
+
+import importlib
+
+for _m in _MODE_MODULES:
+    importlib.import_module(_m)
