@@ -1,0 +1,77 @@
+"""Profiling/autotuning modes: ops_prof, wis_merge, wis_ana.
+
+Parity targets: ``ops-prof`` (ref src/rtc_prof.cc:194), ``wis-merge``
+(ref src/op-tuner.cc:161), ``wis-ana`` (ref src/op-tuner.cc:204).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..config import ConfigError, Field, Mode, register
+from ..ops.op_base import load_op_sigs
+from ..ops.registry import Codegen
+from ..ops.tune import OpTune
+from ..prof.opsprof import profile_op
+from ..prof.wisdom import merge_wisdom, read_wisdom, write_wisdom
+
+
+@register("mode", "ops_prof", help="profile ops from a corpus over tunes; emit wisdom")
+class OpsProf(Mode):
+    be = Field("be", default="(be=tpu)", help="backend to profile on")
+    ops_fn = Field("filename", req=True, help="op-signature corpus (one lexp/line)")
+    op_tunes = Field((dict, "lexp"), default="(kg=())",
+                     help="named tunes; first entry is the known-good anchor")
+    wisdom_in_fn = Field("filename", default="", help="input wisdom (digest anchors)")
+    wisdom_out_fn = Field("filename", default="%(boda_output_dir)/wisdom.wis",
+                          help="output wisdom stream")
+    n_iters = Field(int, default="10", help="timing iterations per tune")
+    mrd_toler = Field(float, default="2e-4", help="cross-tune output tolerance")
+
+    def main(self) -> None:
+        ops = load_op_sigs(self.ops_fn)
+        tunes = [OpTune.from_lexp(v) for v in self.op_tunes.values()]
+        if not tunes:
+            raise ConfigError("ops_prof: op_tunes must not be empty")
+        kg_map = {}
+        if self.wisdom_in_fn:
+            kg_map = {w.op.key(): w for w in read_wisdom(self.wisdom_in_fn)}
+        out = []
+        for op in ops:
+            self.be.release_all_vars()
+            w = profile_op(self.be, Codegen(self.be), op, tunes,
+                           n_iters=self.n_iters, mrd_toler=self.mrd_toler,
+                           kg_wisdom=kg_map.get(op.key()))
+            out.append(w)
+        fn = self.out_path(os.path.basename(self.wisdom_out_fn)) \
+            if os.path.dirname(self.wisdom_out_fn) in ("", ".") else self.wisdom_out_fn
+        write_wisdom(fn, out)
+        print(f"wrote wisdom for {len(out)} ops to {fn}")
+
+
+@register("mode", "wis_merge", help="merge wisdom files (union runs, check digests)")
+class WisMerge(Mode):
+    srcs = Field((list, "filename"), req=True, help="input wisdom files")
+    out_fn = Field("filename", req=True, help="merged output file")
+
+    def main(self) -> None:
+        merged = merge_wisdom([read_wisdom(fn) for fn in self.srcs])
+        write_wisdom(self.out_fn, merged)
+        print(f"merged {len(self.srcs)} files -> {len(merged)} ops in {self.out_fn}")
+
+
+@register("mode", "wis_ana", help="analyze wisdom: best tune per op per platform")
+class WisAna(Mode):
+    wisdom_fn = Field("filename", req=True, help="wisdom file to analyze")
+    peak_flops = Field(float, default="0", help="peak FLOP/s for %-peak column")
+
+    def main(self) -> None:
+        wis = read_wisdom(self.wisdom_fn)
+        for w in wis:
+            plats = sorted({r.plat for r in w.runs})
+            print(f"op {w.op.key()}")
+            for p in plats:
+                b = w.best(p)
+                line = f"  {p}: best {b.secs * 1e6:.1f}us tune={b.tune}"
+                print(line)
+        print(f"{len(wis)} ops analyzed")

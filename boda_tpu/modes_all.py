@@ -5,6 +5,8 @@
 
 _MODE_MODULES = [
     "boda_tpu.modes.basic",
+    "boda_tpu.modes.prof",
+    "boda_tpu.modes.rtc",
 ]
 
 import importlib

@@ -1,0 +1,72 @@
+"""The tuning-parameter space for generated kernels.
+
+Parity target: ``op_tune_t`` (ref src/cnn_op.H:10). The reference's knobs were
+CUDA-shaped (thread blocks, register tiles, smem); the TPU-native knobs are
+MXU/VMEM-shaped: block (tile) sizes feeding BlockSpecs, grid layouts, fusion
+and precision choices, and a "use the stock XLA op" escape hatch (the analog
+of the reference's ``use_culibs`` cuDNN/cuBLAS path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+from ..utils.lexp import Lexp, parse_lexp
+
+
+@dataclass(frozen=True)
+class OpTune:
+    # blocking: output tile sizes for matmul-like kernels (MXU-aligned).
+    bm: int = 256          # rows of output per grid step (sublane dim)
+    bn: int = 256          # cols of output per grid step (lane dim)
+    bk: int = 512          # contraction-dim block per inner step
+    # conv-specific
+    chunk: int = 0         # spatial/pixel chunking for conv kernels (0=auto)
+    # variant enables (the k1conv/tconv/ipconv analog switches)
+    use_k1conv: bool = True
+    use_iconv: bool = True
+    # precision / layout
+    acc_tn: str = "float32"   # accumulation dtype (always f32 on MXU)
+    in_tn: str = ""           # compute dtype override ('' = keep input dtype)
+    # MXU pass precision: 'highest' = full f32 (bf16x6 passes; needed for the
+    # <=1e-5 fidelity gate), 'high' = bf16x3, 'default' = plain bf16 inputs.
+    precision: str = "highest"
+    # escape hatch: lower to the stock XLA op instead of a Pallas kernel
+    # (the TPU analog of use_culibs -> cuDNN/cuBLAS, ref cnn_op.H:19)
+    use_xla: bool = False
+    # pallas pipelining
+    dimension_semantics: str = "arbitrary"  # last grid dim semantics
+
+    def key(self) -> str:
+        parts = []
+        for f in fields(self):
+            v = getattr(self, f.name)
+            if v != f.default:
+                parts.append(f"{f.name}={Lexp(leaf_val=str(int(v) if isinstance(v, bool) else v))}")
+        return "(" + ",".join(parts) + ")"
+
+    def __str__(self) -> str:
+        return self.key()
+
+    @staticmethod
+    def parse(s: str) -> "OpTune":
+        return OpTune.from_lexp(parse_lexp(s))
+
+    @staticmethod
+    def from_lexp(l: Lexp) -> "OpTune":
+        if l.is_leaf and not l.leaf_val:
+            return OpTune()
+        l.deep_inc_use_cnt()
+        kw = {}
+        ftypes = {f.name: f.type for f in fields(OpTune)}
+        for k, v in l.kids:
+            if k not in ftypes:
+                raise ValueError(f"op_tune: unknown knob {k!r}; have {sorted(ftypes)}")
+            t = ftypes[k]
+            if t == "bool":
+                kw[k] = v.leaf_val in ("1", "true", "True")
+            elif t == "int":
+                kw[k] = int(v.leaf_val)
+            else:
+                kw[k] = v.leaf_val
+        return OpTune(**kw)

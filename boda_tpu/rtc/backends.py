@@ -1,0 +1,136 @@
+"""Concrete compute backends: ``tpu`` (Pallas/XLA) and ``interp`` (CPU oracle).
+
+Parity mapping (ref SURVEY.md section 1 L3):
+  * ``tpu``    <- nvrtc_compute_t (the real device, generated kernels)
+  * ``interp`` <- the oracle role of caffe/OpenCL-peer backends: runs the
+                  *reference* (plain jax.numpy) implementation of every op on
+                  CPU in float32 — an independent numeric ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Field, register
+from ..utils.dims import NDA, Dims, np_dtype
+from .compute import Backend, FuncInfo
+
+
+def _jax():
+    import jax
+    return jax
+
+
+def _jnp_dtype(tn: str):
+    import jax.numpy as jnp
+    return {
+        "float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16,
+        "int32": jnp.int32, "uint32": jnp.uint32, "int8": jnp.int8,
+        "uint8": jnp.uint8, "float64": jnp.float64, "bool": jnp.bool_,
+    }[tn]
+
+
+class _JaxBackend(Backend):
+    """Shared jax-array var store + AOT jit compilation."""
+
+    donate = Field(bool, default="0", help="donate inputs named like outputs (memory reuse)")
+
+    def _zeros(self, dims: Dims):
+        import jax.numpy as jnp
+        with _jax().default_device(self.device()):
+            return jnp.zeros(dims.shape, dtype=_jnp_dtype(dims.tn))
+
+    def _upload(self, nda: NDA):
+        return _jax().device_put(nda.data, self.device())
+
+    def _download(self, arr) -> np.ndarray:
+        return np.asarray(arr)
+
+    def _compile_one(self, fi: FuncInfo):
+        jax = _jax()
+        jitted = jax.jit(fi.fn)
+        dev = self.device()
+        if fi.in_dims is not None:
+            # true AOT: trace+lower+compile now (the batched-deferred-compile
+            # parity point, ref rtc_func_gen.cc:636) so first run() is hot.
+            import jax.numpy as jnp
+            avals = [jax.ShapeDtypeStruct(d.shape, _jnp_dtype(d.tn)) for d in fi.in_dims]
+            with jax.default_device(dev):
+                compiled = jitted.lower(*avals).compile()
+
+            def run_aot(*args):
+                return compiled(*args)
+            return run_aot
+
+        def run_on_device(*args):
+            # inputs are committed to dev by _upload/_zeros; default_device
+            # pins zero-input funcs (e.g. gen_data) to the same device.
+            with jax.default_device(dev):
+                return jitted(*args)
+        return run_on_device
+
+    def _block_on(self, arrs) -> None:
+        for a in arrs:
+            if hasattr(a, "block_until_ready"):
+                a.block_until_ready()
+
+    # precise kernel timing: warmup + timed loop with a single final sync.
+    def time_func(self, call, n_iters: int = 10, warmup: int = 2):
+        """Return avg secs/iter for a call (replaces per-call CUDA events;
+        honest TPU timing requires amortizing dispatch over iterations)."""
+        import time as _time
+        fi = self.funcs[call.fn_name]
+        fn = self._compiled[fi.name]
+        ins = [self._get(call.arg_map[p])[1] for p in fi.in_names]
+        for _ in range(warmup):
+            outs = fn(*ins)
+            self._block_on(outs if isinstance(outs, tuple) else (outs,))
+        t0 = _time.perf_counter()
+        for _ in range(n_iters):
+            outs = fn(*ins)
+        self._block_on(outs if isinstance(outs, tuple) else (outs,))
+        return (_time.perf_counter() - t0) / n_iters
+
+
+@register("be", "tpu", help="TPU backend: Pallas kernels + XLA (the real device)")
+class TpuBackend(_JaxBackend):
+    device_idx = Field(int, default="0", help="jax device index")
+
+    def init(self) -> None:
+        jax = _jax()
+        devs = jax.devices()
+        if self.device_idx >= len(devs):
+            raise RuntimeError(f"device_idx {self.device_idx} out of range ({len(devs)} devices)")
+        self._device = devs[self.device_idx]
+
+    def device(self):
+        return self._device
+
+    def get_plat_tag(self) -> str:
+        d = self._device
+        return f"tpu:{getattr(d, 'device_kind', 'unknown')}".replace(" ", "_")
+
+    def interpret_mode(self) -> bool:
+        # Pallas TPU kernels only compile for real TPUs; on any other platform
+        # (tests run on CPU) fall back to the Pallas interpreter.
+        return self._device.platform != "tpu"
+
+
+@register("be", "interp", help="CPU oracle backend: plain-jnp reference implementations")
+class InterpBackend(_JaxBackend):
+    def init(self) -> None:
+        jax = _jax()
+        cpus = [d for d in jax.devices("cpu")] or jax.devices()
+        self._device = cpus[0]
+
+    def device(self):
+        return self._device
+
+    def get_plat_tag(self) -> str:
+        return "interp:cpu"
+
+    def use_ref_impl(self) -> bool:
+        return True
+
+    def interpret_mode(self) -> bool:
+        return True

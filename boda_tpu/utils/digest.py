@@ -123,16 +123,22 @@ class CompResult:
                 f"num_diff={self.num_diff}/{self.n}")
 
 
-def comp_vars(a: np.ndarray, b: np.ndarray, mrd_toler: float = 5e-4) -> CompResult:
-    """Full-tensor comparison (ref comp_util.H:13 semantics)."""
+def comp_vars(a: np.ndarray, b: np.ndarray, mrd_toler: float = 5e-4,
+              atol: float = 0.0) -> CompResult:
+    """Full-tensor comparison (ref comp_util.H:13 semantics).
+
+    An element counts as different when |a-b| > atol + mrd_toler*max(|a|,|b|);
+    atol guards near-zero elements whose relative error is accumulation-order
+    noise. atol=0 keeps the strict pure-relative gate.
+    """
     if a.shape != b.shape:
         raise ValueError(f"comp_vars: shape mismatch {a.shape} vs {b.shape}")
     a64 = np.asarray(a, dtype=np.float64)
     b64 = np.asarray(b, dtype=np.float64)
     ad = np.abs(a64 - b64)
     rd = rel_diff(a64, b64)
-    # tiny absolute values are compared absolutely (denominator noise guard)
-    eff = np.where(np.maximum(np.abs(a64), np.abs(b64)) < 1e-6, 0.0, rd)
+    denom = np.maximum(np.abs(a64), np.abs(b64))
+    eff = np.where(ad > atol + mrd_toler * denom, np.inf, 0.0)
     return CompResult(
         mrd=float(rd.max()) if rd.size else 0.0,
         mad=float(ad.max()) if ad.size else 0.0,
