@@ -1,0 +1,182 @@
+"""Forward-computation engines: compile a ConvPipe into one XLA program.
+
+Parity target: ``has_conv_fwd_t`` (ref src/has_conv_fwd.H:16) and its two
+implementations — ``conv_pipe_fwd_t`` (mode=rtc, the generated-kernel engine,
+rtc_fwd.cc:43) and ``caffe_fwd_t`` (the oracle, caffe_fwd.cc:40). Here:
+
+  * ``xla``   — whole-net jit using stock XLA ops only (library path; on CPU
+                in f32/highest precision it plays the Caffe-oracle role).
+  * ``pallas``— same graph but matmul-like hot ops (Convolution/InnerProduct)
+                lower to generated Pallas kernels chosen by the
+                variant-selection policy (ref add_cnn_codegen_annotations,
+                cnn_op.cc:16); everything else stays XLA and fuses around.
+
+TPU-first difference from the reference: instead of a recorded list of
+per-kernel launches replayed one by one (rtc_fwd.cc:547), the whole net is ONE
+jit program — XLA owns scheduling, fusion, and layout. Per-layer outputs for
+regression tests are produced by requesting intermediate nodes as outputs
+(which disables fusion across those nodes only for that run).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import Field, register, register_base
+from ..utils.dims import NDA, Dims, np_dtype
+from ..utils.timers import timer
+from .lowering import LowerCtx, lower_op
+from .pipe import ConvPipe, PipeError
+
+
+def _jnp_dt(tn: str):
+    from ..rtc.backends import _jnp_dtype
+    return _jnp_dtype(tn)
+
+
+@register_base("conv_fwd", tid_vn="mode")
+class FwdEngine:
+    """Abstract engine: init(pipe) then run_fwd(ins, out_names)."""
+
+    precision = Field(str, default="highest", help="MXU precision: default/high/highest")
+    platform = Field(str, default="", help="jax platform override ('' = default)")
+    train = Field(bool, default="0", help="training mode (dropout active)")
+    det_drop_seed = Field(int, default="0", help="deterministic dropout seed")
+    per_layer_stats = Field(bool, default="0", help="collect per-node var stats")
+
+    def base_setup(self) -> None:
+        self.pipe: Optional[ConvPipe] = None
+        self._fn: Optional[Callable] = None
+        self._out_names: list[str] = []
+        self._info_log: list[str] = []
+        self._weights_dev: dict = {}
+
+    # -- interface (ref has_conv_fwd.H:16-24) -----------------------------------
+    def init(self, pipe: ConvPipe) -> None:
+        self.pipe = pipe
+        self._lowered = {}
+        ctx = self.lower_ctx()
+        for op_name in pipe.topo_op_order():
+            op = pipe.ops[op_name]
+            self._lowered[op_name] = self.lower_one(pipe, op, ctx)
+        self._upload_weights()
+
+    def lower_ctx(self) -> LowerCtx:
+        return LowerCtx(precision=self.precision, train=self.train,
+                        det_drop_seed=self.det_drop_seed)
+
+    def lower_one(self, pipe: ConvPipe, op, ctx: LowerCtx) -> Callable:
+        return lower_op(pipe, op, ctx)
+
+    def device(self):
+        import jax
+        if self.platform:
+            return jax.devices(self.platform)[0]
+        return jax.devices()[0]
+
+    def _upload_weights(self) -> None:
+        import jax
+        dev = self.device()
+        self._weights_dev = {k: jax.device_put(w.data, dev)
+                             for k, w in self.pipe.weights.items()}
+
+    def set_det_drop_seed(self, seed: int) -> None:
+        self.det_drop_seed = seed
+        if self.pipe is not None:
+            self._fn = None
+            self.init(self.pipe)
+
+    def get_info_log(self) -> str:
+        return "\n".join(self._info_log)
+
+    # -- compilation ----------------------------------------------------------------
+    def _build_fn(self, in_names: list[str], out_names: list[str]) -> Callable:
+        import jax
+        pipe = self.pipe
+        topo = pipe.topo_op_order()
+        lowered = self._lowered
+
+        def net_fn(weights: dict, inputs: dict):
+            vals = dict(inputs)
+            vals.update(weights)
+            for op_name in topo:
+                op = pipe.ops[op_name]
+                try:
+                    bot_vals = [vals[b] for b in op.bots]
+                except KeyError as e:
+                    raise PipeError(f"op {op_name!r}: missing input {e}") from None
+                outs = lowered[op_name](*bot_vals)
+                vals.update(zip(op.tops, outs))
+            return {n: vals[n] for n in out_names}
+
+        return jax.jit(net_fn)
+
+    def compile_for(self, in_names: list[str], out_names: list[str]) -> None:
+        key = (tuple(in_names), tuple(out_names))
+        if getattr(self, "_fn_key", None) != key:
+            with timer("fwd_compile"):
+                self._fn = self._build_fn(in_names, out_names)
+                self._fn_key = key
+
+    def run_fwd(self, ins: dict[str, NDA], out_names: list[str]) -> dict[str, NDA]:
+        import jax
+        dev = self.device()
+        in_names = sorted(ins)
+        self.compile_for(in_names, out_names)
+        with timer("fwd_h2d"):
+            dev_ins = {k: jax.device_put(v.data, dev) for k, v in ins.items()}
+        with timer("fwd_run"):
+            outs = self._fn(self._weights_dev, dev_ins)
+            jax.tree_util.tree_map(
+                lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
+                outs)
+        with timer("fwd_d2h"):
+            res = {}
+            for n, arr in outs.items():
+                d = self.pipe.must_dims(n)
+                res[n] = NDA(d, np.asarray(arr, dtype=np_dtype(d.tn)))
+        return res
+
+    def time_fwd(self, ins: dict[str, NDA], out_names: list[str],
+                 n_iters: int = 20, warmup: int = 3) -> float:
+        """Steady-state secs per whole-net forward (difference method — see
+        rtc/backends.time_diff_method: cancels fixed dispatch/sync latency)."""
+        import jax
+
+        from ..rtc.backends import time_diff_method
+        dev = self.device()
+        self.compile_for(sorted(ins), out_names)
+        dev_ins = {k: jax.device_put(v.data, dev) for k, v in ins.items()}
+        return time_diff_method(lambda: self._fn(self._weights_dev, dev_ins),
+                                lambda outs: _block_tree(outs), n_iters, warmup)
+
+
+def _block_tree(tree) -> None:
+    import jax
+    jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, tree)
+
+
+@register("conv_fwd", "xla", help="whole-net XLA engine (library path / CPU oracle)")
+class XlaFwd(FwdEngine):
+    pass
+
+
+@register("conv_fwd", "pallas", help="generated-Pallas-kernel engine for hot ops")
+class PallasFwd(FwdEngine):
+    tune = Field("lexp", default="()", help="default op_tune for generated kernels")
+    per_op_tune = Field((dict, "lexp"), default="()", help="per-op-name tune overrides")
+
+    def lower_one(self, pipe: ConvPipe, op, ctx: LowerCtx) -> Callable:
+        from ..ops.cnn_variants import lower_op_pallas
+        from ..ops.tune import OpTune
+        base = OpTune.from_lexp(self.tune)
+        t = self.per_op_tune.get(op.name)
+        tune = OpTune.from_lexp(t) if t is not None else base
+        fn = lower_op_pallas(pipe, op, ctx, tune, self._info_log)
+        if fn is not None:
+            return fn
+        return lower_op(pipe, op, ctx)

@@ -1,0 +1,355 @@
+"""Per-op lowering: graph ops -> JAX computations (Caffe-compatible numerics).
+
+Parity target: the per-op lowering in ``conv_pipe_fwd_t::gen_op`` (ref
+src/rtc_fwd.cc:263) and the op semantics of the reference's CUCL kernels
+(ref test/rtc/*.cucl): Convolution (+fused bias/ReLU), Pooling (max/avg with
+Caffe window clipping), LRN, Softmax, SoftmaxWithLoss, ReLU, Dropout (the
+deterministic-seed flavor), BatchNorm, Scale, Concat, Split, Eltwise,
+InnerProduct, Deconvolution (spreading), Sigmoid/TanH.
+
+TPU-first design: each op lowers to a jax-traceable callable; the executor
+composes them into ONE jit program so XLA fuses elementwise chains into
+convolutions (the reference did conv+ReLU fusion by hand, rtc_fwd.cc:490).
+Convolution/InnerProduct may lower either to stock XLA ops (library path,
+cuDNN analog) or to generated Pallas kernels (ref generated-kernel path);
+that choice lives in the executor's variant-selection policy, not here.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.dims import Dims
+from .pipe import ConvOp, ConvPipe, PipeError
+
+PRECISIONS = {"default": lax.Precision.DEFAULT,
+              "high": lax.Precision.HIGH,
+              "highest": lax.Precision.HIGHEST}
+
+
+@dataclass(frozen=True)
+class LowerCtx:
+    precision: str = "highest"     # MXU pass precision for conv/matmul
+    compute_tn: str = ""           # '' = keep input dtype; else cast for compute
+    det_drop_seed: int = 0         # deterministic dropout seed (0 = inference)
+    train: bool = False            # training mode (dropout active)
+
+    @property
+    def prec(self):
+        return PRECISIONS[self.precision]
+
+
+_LOWER: dict[str, Callable] = {}
+
+
+def lower_rule(op_type: str):
+    def deco(fn):
+        _LOWER[op_type] = fn
+        return fn
+    return deco
+
+
+def lower_op(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    """Return fn(*bot_arrays) -> tuple(top_arrays)."""
+    rule = _LOWER.get(op.type)
+    if rule is None:
+        raise PipeError(f"no lowering rule for op type {op.type!r} (op {op.name!r})")
+    return rule(pipe, op, ctx)
+
+
+# -- conv / ip ------------------------------------------------------------------
+
+@lower_rule("Convolution")
+def _lower_conv(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    s, p = op.stride(), op.pad()
+    groups = int(op.p("groups", 1))
+    relu = bool(op.p("fused_relu", False))
+
+    def fn(x, w, b):
+        out = lax.conv_general_dilated(
+            x, w, window_strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=groups,
+            precision=ctx.prec,
+            preferred_element_type=jnp.float32,
+        )
+        out = out + b.reshape(1, -1, 1, 1)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        return (out.astype(x.dtype),)
+    return fn
+
+
+@lower_rule("InnerProduct")
+def _lower_ip(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    relu = bool(op.p("fused_relu", False))
+
+    def fn(x, w, b):
+        xf = x.reshape(x.shape[0], -1)
+        # w is (out_chan, in_feats); match Caffe y = x.W^T + b
+        out = jnp.dot(xf, w.T, precision=ctx.prec,
+                      preferred_element_type=jnp.float32) + b
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        return (out.astype(x.dtype),)
+    return fn
+
+
+@lower_rule("Deconvolution")
+def _lower_deconv(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    s, p = op.stride(), op.pad()
+
+    def fn(x, w, b):
+        # Caffe deconv == gradient of conv wrt its input (spreading, ref
+        # conv_util.cc Spreading) == transposed conv.
+        out = lax.conv_transpose(
+            x, w, strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            transpose_kernel=True,
+            precision=ctx.prec,
+        )
+        out = out + b.reshape(1, -1, 1, 1)
+        return (out.astype(x.dtype),)
+    return fn
+
+
+# -- pooling -----------------------------------------------------------------------
+
+def _pool_geom(in_sz, k, s, p, out_sz):
+    """Per-output-window [start, end) in padded coords, Caffe clipping."""
+    starts = [o * s - p for o in range(out_sz)]
+    return starts
+
+
+@lower_rule("Pooling")
+def _lower_pool(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    k, s, p = op.kern_sz(), op.stride(), op.pad()
+    avg = op.p("avg_pool", False)
+    ind = pipe.must_dims(op.bots[0])
+    od = pipe.must_dims(op.tops[0])
+    iy, ix = ind["y"], ind["x"]
+    oy, ox = od["y"], od["x"]
+    # explicit asymmetric padding: ceil-mode output may read past in+pad
+    pad_y = (p[0], max(0, (oy - 1) * s[0] + k[0] - iy - p[0]))
+    pad_x = (p[1], max(0, (ox - 1) * s[1] + k[1] - ix - p[1]))
+
+    if avg:
+        # Caffe AVE divisor: window clipped to the *padded* image bounds
+        def divisor(o, in_sz, kk, ss, pp):
+            st = o * ss - pp
+            en = min(st + kk, in_sz + pp)
+            st = max(st, 0)
+            return en - st
+        dy = jnp.array([divisor(o, iy, k[0], s[0], p[0]) for o in range(oy)],
+                       dtype=jnp.float32)
+        dx = jnp.array([divisor(o, ix, k[1], s[1], p[1]) for o in range(ox)],
+                       dtype=jnp.float32)
+        div = (dy[:, None] * dx[None, :]).reshape(1, 1, oy, ox)
+
+        def fn(x):
+            sums = lax.reduce_window(
+                x.astype(jnp.float32), 0.0, lax.add,
+                window_dimensions=(1, 1, k[0], k[1]),
+                window_strides=(1, 1, s[0], s[1]),
+                padding=((0, 0), (0, 0), pad_y, pad_x))
+            return ((sums / div).astype(x.dtype),)
+        return fn
+
+    def fn(x):
+        neg_inf = jnp.array(-jnp.inf, dtype=jnp.float32)
+        out = lax.reduce_window(
+            x.astype(jnp.float32), neg_inf, lax.max,
+            window_dimensions=(1, 1, k[0], k[1]),
+            window_strides=(1, 1, s[0], s[1]),
+            padding=((0, 0), (0, 0), pad_y, pad_x))
+        return (out.astype(x.dtype),)
+    return fn
+
+
+# -- normalization ---------------------------------------------------------------------
+
+@lower_rule("LRN")
+def _lower_lrn(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    size = int(op.p("local_size", 5))
+    alpha = float(op.p("alpha", 1e-4))
+    beta = float(op.p("beta", 0.75))
+    k = float(op.p("k", 1.0))
+    half = (size - 1) // 2
+
+    def fn(x):
+        # across-channel LRN (Caffe default): scale = k + alpha/size * sum(x^2)
+        x32 = x.astype(jnp.float32)
+        sq = x32 * x32
+        ssum = lax.reduce_window(
+            sq, 0.0, lax.add,
+            window_dimensions=(1, size, 1, 1), window_strides=(1, 1, 1, 1),
+            padding=((0, 0), (half, size - 1 - half), (0, 0), (0, 0)))
+        scale = k + (alpha / size) * ssum
+        return ((x32 * jnp.power(scale, -beta)).astype(x.dtype),)
+    return fn
+
+
+@lower_rule("BatchNorm")
+def _lower_bn(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    eps = float(op.p("eps", 1e-5))
+
+    def fn(x, mean, var, scale_factor=None):
+        sf = 1.0
+        if scale_factor is not None:
+            sf = jnp.where(scale_factor[0] != 0, 1.0 / scale_factor[0], 1.0)
+        m = (mean * sf).reshape(1, -1, 1, 1)
+        v = (var * sf).reshape(1, -1, 1, 1)
+        return (((x - m) * lax.rsqrt(v + eps)).astype(x.dtype),)
+    return fn
+
+
+@lower_rule("Scale")
+def _lower_scale(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    def fn(x, gamma, beta=None):
+        out = x * gamma.reshape(1, -1, 1, 1)
+        if beta is not None:
+            out = out + beta.reshape(1, -1, 1, 1)
+        return (out.astype(x.dtype),)
+    return fn
+
+
+# -- activations ------------------------------------------------------------------------
+
+@lower_rule("ReLU")
+def _lower_relu(pipe, op, ctx):
+    def fn(x):
+        return (jnp.maximum(x, 0.0).astype(x.dtype),)
+    return fn
+
+
+@lower_rule("Sigmoid")
+def _lower_sigmoid(pipe, op, ctx):
+    def fn(x):
+        return (jax.nn.sigmoid(x),)
+    return fn
+
+
+@lower_rule("TanH")
+def _lower_tanh(pipe, op, ctx):
+    def fn(x):
+        return (jnp.tanh(x),)
+    return fn
+
+
+@lower_rule("Dropout")
+def _lower_dropout(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    ratio = float(op.p("dropout_ratio", 0.5))
+
+    if not ctx.train:
+        def fn(x):
+            return (x,)
+        return fn
+
+    # deterministic dropout: fixed seed per op (ref set_det_drop_seed,
+    # has_conv_fwd.H:22 / rtc_fwd.cc:91-100 — reproducible masks for testing)
+    seed = ctx.det_drop_seed + (hash(op.name) & 0xFFFF)
+
+    def fn(x):
+        key = jax.random.PRNGKey(seed)
+        mask = jax.random.bernoulli(key, 1.0 - ratio, x.shape)
+        return ((x * mask / (1.0 - ratio)).astype(x.dtype),)
+    return fn
+
+
+# -- structure ---------------------------------------------------------------------------
+
+@lower_rule("Concat")
+def _lower_concat(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    axis_name = op.p("axis_name", "chan")
+    axis = pipe.must_dims(op.bots[0]).index(axis_name)
+
+    def fn(*xs):
+        return (jnp.concatenate(xs, axis=axis),)
+    return fn
+
+
+@lower_rule("Split")
+def _lower_split(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    n = len(op.tops)
+
+    def fn(x):
+        return (x,) * n
+    return fn
+
+
+@lower_rule("Eltwise")
+def _lower_eltwise(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    kind = op.p("eltwise_op", "sum")
+    coeffs = op.p("coeffs", None)
+
+    def fn(*xs):
+        if kind == "sum":
+            if coeffs:
+                out = sum(c * x for c, x in zip(coeffs, xs))
+            else:
+                out = sum(xs[1:], start=xs[0])
+        elif kind == "prod":
+            out = functools.reduce(jnp.multiply, xs)
+        elif kind == "max":
+            out = functools.reduce(jnp.maximum, xs)
+        else:
+            raise PipeError(f"eltwise: unknown op {kind!r}")
+        return (out,)
+    return fn
+
+
+# -- classification head ------------------------------------------------------------------
+
+def _softmax(x, axis=1):
+    x32 = x.astype(jnp.float32)
+    m = jnp.max(x32, axis=axis, keepdims=True)
+    e = jnp.exp(x32 - m)
+    return e / jnp.sum(e, axis=axis, keepdims=True)
+
+
+@lower_rule("Softmax")
+def _lower_softmax(pipe, op, ctx):
+    def fn(x):
+        return (_softmax(x, axis=1).astype(x.dtype),)
+    return fn
+
+
+@lower_rule("SoftmaxWithLoss")
+def _lower_sml(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    def fn(x, labels):
+        prob = _softmax(x, axis=1)
+        lab = labels.reshape(labels.shape[0]).astype(jnp.int32)
+        if prob.ndim == 4:
+            p = prob[jnp.arange(prob.shape[0]), lab, 0, 0]
+        else:
+            p = prob[jnp.arange(prob.shape[0]), lab]
+        loss = -jnp.log(jnp.maximum(p, 1e-38))
+        return (loss.astype(x.dtype), prob.astype(x.dtype))
+    return fn
+
+
+@lower_rule("Accuracy")
+def _lower_accuracy(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    top_k = int(op.p("top_k", 1))
+
+    def fn(x, labels):
+        xf = x.reshape(x.shape[0], -1)
+        lab = labels.reshape(labels.shape[0]).astype(jnp.int32)
+        _, idx = lax.top_k(xf, top_k)
+        hit = jnp.any(idx == lab[:, None], axis=1)
+        return (hit.astype(jnp.float32),)
+    return fn
+
+
+@lower_rule("Data")
+def _lower_data(pipe, op, ctx):
+    def fn(x):
+        return (x,)
+    return fn

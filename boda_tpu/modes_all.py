@@ -5,6 +5,7 @@
 
 _MODE_MODULES = [
     "boda_tpu.modes.basic",
+    "boda_tpu.modes.cnet",
     "boda_tpu.modes.prof",
     "boda_tpu.modes.rtc",
 ]

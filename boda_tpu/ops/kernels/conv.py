@@ -1,0 +1,142 @@
+"""Direct Pallas 2D convolution: NHWC implicit-GEMM with row-block halos.
+
+Parity target: the reference's generated conv kernel family (ref
+test/rtc/conv.cucl, tconv.cucl "line-based tiled conv" + cnn_codegen.cc
+gen_op_conv:165/gen_op_tconv:763). TPU-native redesign:
+
+  * NHWC layout: channels on the MXU lane dim, pixels on the sublane dim.
+  * host-side prep (stays inside the same XLA program, fuses with neighbors):
+    spatial zero-pad, then gather output-row blocks WITH their halo rows into
+    a (N*R, XR, PW, C) tensor so Pallas blocks never overlap (the analog of
+    tconv's per-line overlapped read pattern, done as one strided gather).
+  * kernel: for each (image-row-block, out-chan block) grid cell, loop the
+    KHxKW filter taps accumulating (rows*OW, C) @ (C, OCb) MXU dots in f32,
+    then apply fused bias+ReLU and store (ref fused store+bias+ReLU,
+    cnn_codegen.cc:39).
+
+Supported here: groups=1, any kern/pad, stride (1,1) (strided convs lower to
+XLA; see ops/cnn_variants.py policy). Inputs NHWC x, HWIO w, bias (OC).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.dims import Dims
+from ..tune import OpTune
+from .common import cdiv, round_up
+from .sgemm import PRECISIONS
+
+# VMEM budget for choosing row-block size (leave headroom under ~16MB/core)
+_VMEM_BUDGET = 10 * 2 ** 20
+
+
+@dataclass(frozen=True)
+class ConvBlocks:
+    boy: int   # output rows per block
+    boc: int   # output channels per block
+
+    def __str__(self):
+        return f"boy={self.boy} boc={self.boc}"
+
+
+def conv_blocks(ind: Dims, fd: Dims, od: Dims, tune: OpTune) -> ConvBlocks | None:
+    """Variant feasibility + block choice (the gbt_tile_t analog, ref
+    gbt_tile.H:24: waste-aware block selection under a memory budget)."""
+    kh, kw = fd["y"], fd["x"]
+    c, oc = fd["in_chan"], fd["out_chan"]
+    ow, oh = od["x"], od["y"]
+    pw = ind["x"] + 2 * 8  # upper bound on padded width (pad unknown here; ~ok)
+    itemsize = 4 if ind.tn == "float32" else 2
+    boc = min(round_up(oc, 128), max(128, (tune.bn // 128) * 128))
+    # pick the largest boy (multiple of 8) whose working set fits the budget
+    for boy in (32, 16, 8, 4, 2, 1):
+        if boy > oh:
+            continue
+        xr = boy + kh - 1
+        x_blk = xr * pw * c * itemsize
+        out_blk = boy * ow * boc * itemsize
+        acc_blk = boy * ow * boc * 4
+        w_blk = kh * kw * c * boc * itemsize
+        if 2 * x_blk + 2 * out_blk + acc_blk + w_blk <= _VMEM_BUDGET:
+            return ConvBlocks(boy=boy, boc=boc)
+    return None
+
+
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, kh: int, kw: int, boy: int,
+                 ow: int, precision, relu: bool):
+    c = x_ref.shape[3]
+    boc = o_ref.shape[3]
+    acc = jnp.zeros((boy * ow, boc), dtype=jnp.float32)
+    for ky in range(kh):
+        for kx in range(kw):
+            xs = x_ref[0, ky:ky + boy, kx:kx + ow, :].reshape(boy * ow, c)
+            wv = w_ref[ky, kx, :, :]
+            acc += jnp.dot(xs, wv, preferred_element_type=jnp.float32,
+                           precision=precision)
+    acc += b_ref[:].astype(jnp.float32)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    o_ref[0] = acc.reshape(boy, ow, boc).astype(o_ref.dtype)
+
+
+def pallas_conv2d_nhwc(x, w, bias, *, stride=(1, 1), pad=(0, 0),
+                       relu: bool = False, blocks: ConvBlocks,
+                       precision: str = "highest", interpret: bool = False):
+    """x (N,H,W,C) * w (KH,KW,C,OC) + bias -> (N,OH,OW,OC). stride must be (1,1)."""
+    assert stride == (1, 1), "pallas conv v1 handles stride-1 only (policy gates this)"
+    n, h, wdt, c = x.shape
+    kh, kw, wc, oc = w.shape
+    assert wc == c
+    py, px = pad
+    oh = h + 2 * py - kh + 1
+    ow = wdt + 2 * px - kw + 1
+    boy, boc = blocks.boy, blocks.boc
+    r = cdiv(oh, boy)
+    xr = boy + kh - 1  # halo rows per block
+    # zero-pad: spatial pad + extra bottom rows so the last block's halo reads
+    # stay in bounds, + lane padding of C to 128 not needed (C is contraction)
+    pad_bottom = (r - 1) * boy + xr - (h + py)
+    xp = jnp.pad(x, ((0, 0), (py, max(pad_bottom, 0)), (px, px), (0, 0)))
+    pw = xp.shape[2]
+    # gather halo'd row blocks: (N, R, XR, PW, C) -> (N*R, XR, PW, C)
+    row_idx = (jnp.arange(r)[:, None] * boy + jnp.arange(xr)[None, :])  # (R, XR)
+    xg = xp[:, row_idx]  # (N, R, XR, PW, C)
+    xg = xg.reshape(n * r, xr, pw, c)
+    ocp = round_up(oc, min(boc, 128) if boc % 128 else boc)
+    ocp = round_up(oc, 128)
+    boc = min(boc, ocp)
+    if ocp != oc:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, ocp - oc)))
+        bias = jnp.pad(bias, (0, ocp - oc))
+    bias2d = bias.reshape(1, ocp)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, kh=kh, kw=kw, boy=boy, ow=ow,
+                          precision=PRECISIONS[precision], relu=relu),
+        grid=(n * r, ocp // boc),
+        in_specs=[
+            pl.BlockSpec((1, xr, pw, c), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((kh, kw, c, boc), lambda i, j: (0, 0, 0, j)),
+            pl.BlockSpec((1, boc), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, boy, ow, boc), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((n * r, boy, ow, ocp), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * oh * ow * oc * kh * kw * c,
+            bytes_accessed=int(xg.size * xg.dtype.itemsize
+                               + w.size * w.dtype.itemsize
+                               + n * oh * ow * ocp * x.dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(xg, w, bias2d)
+    out = out.reshape(n, r * boy, ow, ocp)
+    return out[:, :oh, :, :oc]

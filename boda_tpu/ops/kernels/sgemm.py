@@ -32,7 +32,8 @@ PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
               "highest": jax.lax.Precision.HIGHEST}
 
 
-def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, precision):
+def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, precision,
+                   relu: bool = False):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -42,13 +43,36 @@ def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, precision):
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _store():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        acc = acc_ref[:]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def pallas_matmul(a, b, *, bm: int, bn: int, bk: int, out_dtype=None,
-                  precision: str = "highest", interpret: bool = False):
-    """2D matmul a[M,K] @ b[K,N] with (bm,bn,bk) blocking; pads to block
-    multiples and slices the result back."""
+def _matmul_bias_kernel(a_ref, b_ref, bias_ref, o_ref, acc_ref, *, n_k: int,
+                        precision, relu: bool):
+    """Matmul with fused bias(+ReLU) epilogue (the reference's fused
+    store+bias+ReLU expressions, ref cnn_codegen.cc:39)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32,
+                          precision=precision)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _store():
+        acc = acc_ref[:] + bias_ref[:].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def pallas_matmul(a, b, bias=None, *, bm: int, bn: int, bk: int, out_dtype=None,
+                  precision: str = "highest", relu: bool = False,
+                  interpret: bool = False):
+    """2D matmul a[M,K] @ b[K,N] (+ optional fused bias[N] and ReLU) with
+    (bm,bn,bk) blocking; pads to block multiples and slices the result back."""
     M, K = a.shape
     K2, N = b.shape
     assert K == K2, (a.shape, b.shape)
@@ -57,13 +81,9 @@ def pallas_matmul(a, b, *, bm: int, bn: int, bk: int, out_dtype=None,
     a = pad2d(a, mp, kp)
     b = pad2d(b, kp, np_)
     n_k = kp // bk
-    out = pl.pallas_call(
-        functools.partial(_matmul_kernel, n_k=n_k, precision=PRECISIONS[precision]),
+    prec = PRECISIONS[precision]
+    common = dict(
         grid=(mp // bm, np_ // bn, n_k),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-        ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -76,7 +96,21 @@ def pallas_matmul(a, b, *, bm: int, bn: int, bk: int, out_dtype=None,
                                + mp * np_ * jnp.dtype(out_dtype).itemsize),
             transcendentals=0),
         interpret=interpret,
-    )(a, b)
+    )
+    ab_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+    ]
+    if bias is None:
+        out = pl.pallas_call(
+            functools.partial(_matmul_kernel, n_k=n_k, precision=prec, relu=relu),
+            in_specs=ab_specs, **common)(a, b)
+    else:
+        bias2d = jnp.pad(bias.reshape(1, N), ((0, 0), (0, np_ - N)))
+        out = pl.pallas_call(
+            functools.partial(_matmul_bias_kernel, n_k=n_k, precision=prec, relu=relu),
+            in_specs=ab_specs + [pl.BlockSpec((1, bn), lambda i, j, k: (0, j))],
+            **common)(a, b, bias2d)
     if (mp, np_) != (M, N):
         out = out[:M, :N]
     return out

@@ -30,6 +30,26 @@ def _jnp_dtype(tn: str):
     }[tn]
 
 
+def time_diff_method(run_once, block_on, n_iters: int = 20, warmup: int = 3) -> float:
+    """Steady-state secs/iter: slope between an n-iter and a 2n-iter batch."""
+    import time as _time
+
+    def batch(n):
+        t0 = _time.perf_counter()
+        outs = None
+        for _ in range(n):
+            outs = run_once()
+        block_on(outs if isinstance(outs, tuple) else (outs,))
+        return _time.perf_counter() - t0
+
+    for _ in range(warmup):
+        outs = run_once()
+        block_on(outs if isinstance(outs, tuple) else (outs,))
+    t_n = batch(n_iters)
+    t_2n = batch(2 * n_iters)
+    return max((t_2n - t_n) / n_iters, 1e-12)
+
+
 class _JaxBackend(Backend):
     """Shared jax-array var store + AOT jit compilation."""
 
@@ -74,22 +94,15 @@ class _JaxBackend(Backend):
             if hasattr(a, "block_until_ready"):
                 a.block_until_ready()
 
-    # precise kernel timing: warmup + timed loop with a single final sync.
-    def time_func(self, call, n_iters: int = 10, warmup: int = 2):
-        """Return avg secs/iter for a call (replaces per-call CUDA events;
-        honest TPU timing requires amortizing dispatch over iterations)."""
-        import time as _time
+    # precise kernel timing via the difference method: time n and 2n
+    # dispatch batches and take the slope. This cancels the fixed host->device
+    # dispatch/sync latency (large over the axon tunnel: ~26ms/sync), which a
+    # naive timed loop under-amortizes. (Replaces per-call CUDA events.)
+    def time_func(self, call, n_iters: int = 20, warmup: int = 3):
         fi = self.funcs[call.fn_name]
         fn = self._compiled[fi.name]
         ins = [self._get(call.arg_map[p])[1] for p in fi.in_names]
-        for _ in range(warmup):
-            outs = fn(*ins)
-            self._block_on(outs if isinstance(outs, tuple) else (outs,))
-        t0 = _time.perf_counter()
-        for _ in range(n_iters):
-            outs = fn(*ins)
-        self._block_on(outs if isinstance(outs, tuple) else (outs,))
-        return (_time.perf_counter() - t0) / n_iters
+        return time_diff_method(lambda: fn(*ins), self._block_on, n_iters, warmup)
 
 
 @register("be", "tpu", help="TPU backend: Pallas kernels + XLA (the real device)")
