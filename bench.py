@@ -1,0 +1,67 @@
+"""Flagship benchmark: ResNet-50 forward throughput on the local device.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference (Boda) is a CUDA/OpenCL CNN inference framework
+benchmarked on a Maxwell Titan X (BASELINE.md); a Titan-X-class full
+ResNet-50 f32 inference throughput is ~250 img/s (batch ~8, cuDNN-era
+Maxwell numbers). vs_baseline = measured_img_per_sec / 250.
+
+Env overrides: BENCH_MODEL (default resnet50), BENCH_IMG (batch, default 8),
+BENCH_ENGINE (pallas|xla, default pallas), BENCH_PREC (default highest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+TITAN_X_RESNET50_IMG_S = 250.0
+
+
+def main() -> int:
+    model = os.environ.get("BENCH_MODEL", "resnet50")
+    img = int(os.environ.get("BENCH_IMG", "8"))
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
+    prec = os.environ.get("BENCH_PREC", "highest")
+
+    import boda_tpu.modes_all  # noqa: F401
+    from boda_tpu.config import make
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.kernels.gen_data import gen_data_pattern
+    from boda_tpu.utils.dims import NDA
+
+    pipe, in_dims = build_model(model, img=img)
+    eng = make("conv_fwd", engine, precision=prec)
+    eng.init(pipe)
+    d = in_dims["data"]
+    x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
+    # correctness guard: prob must be a valid distribution
+    outs = eng.run_fwd({"data": x}, ["prob"])
+    psum = float(outs["prob"].data.sum(axis=1).mean())
+    if not (0.99 < psum < 1.01):
+        print(json.dumps({"metric": f"{model}_fwd_img_per_sec", "value": 0.0,
+                          "unit": "img/s", "vs_baseline": 0.0,
+                          "error": f"bad prob sum {psum}"}))
+        return 1
+    secs = eng.time_fwd({"data": x}, ["prob"], n_iters=20)
+    img_s = img / secs
+    fl = pipe.total_flops() / img
+    print(json.dumps({
+        "metric": f"{model}_fwd_img_per_sec",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / TITAN_X_RESNET50_IMG_S, 3),
+        "detail": {"engine": engine, "precision": prec, "img": img,
+                   "secs_per_fwd": round(secs, 6),
+                   "GF_per_s": round(fl * img / secs / 1e9, 1)},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

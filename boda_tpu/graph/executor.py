@@ -93,8 +93,8 @@ class FwdEngine:
         return "\n".join(self._info_log)
 
     # -- compilation ----------------------------------------------------------------
-    def _build_fn(self, in_names: list[str], out_names: list[str]) -> Callable:
-        import jax
+    def build_raw_fn(self, out_names: list[str]) -> Callable:
+        """The un-jitted pure net function fn(weights, inputs) -> {name: arr}."""
         pipe = self.pipe
         topo = pipe.topo_op_order()
         lowered = self._lowered
@@ -112,7 +112,11 @@ class FwdEngine:
                 vals.update(zip(op.tops, outs))
             return {n: vals[n] for n in out_names}
 
-        return jax.jit(net_fn)
+        return net_fn
+
+    def _build_fn(self, in_names: list[str], out_names: list[str]) -> Callable:
+        import jax
+        return jax.jit(self.build_raw_fn(out_names))
 
     def compile_for(self, in_names: list[str], out_names: list[str]) -> None:
         key = (tuple(in_names), tuple(out_names))

@@ -331,7 +331,39 @@ def build_squeezenet(img: int = 1, num_cls: int = 1000, in_sz: int = 227):
     return b.done(in_dims), in_dims
 
 
+def build_mini_resnet(img: int = 4, num_cls: int = 16, in_sz: int = 32,
+                      widths=(16, 32, 64), reps: int = 2):
+    """Small BN+eltwise residual net for fast tests and multi-chip dryruns
+    (not a reference model; structure mirrors the ResNet builders)."""
+    b = NetBuilder("mini_resnet")
+    t = b.input("data")
+    t = b.conv("conv1", t, widths[0], 3, pad=1, in_chans=3)
+    t = b.bn_scale("bn1", t, widths[0])
+    t = b.relu("relu1", t)
+    in_c = widths[0]
+    for stage, w in enumerate(widths, start=1):
+        for r in range(reps):
+            tag = f"s{stage}b{r}"
+            stride = 2 if (r == 0 and stage > 1) else 1
+            if in_c != w or stride != 1:
+                sc = b.conv(f"{tag}_sc", t, w, 1, stride=stride, in_chans=in_c)
+            else:
+                sc = t
+            u = b.conv(f"{tag}_c1", t, w, 3, stride=stride, pad=1, in_chans=in_c)
+            u = b.bn_scale(f"{tag}_bn1", u, w)
+            u = b.relu(f"{tag}_r1", u)
+            u = b.conv(f"{tag}_c2", u, w, 3, pad=1, in_chans=w)
+            t = b.eltwise(tag, [sc, u], relu=True)
+            in_c = w
+    t = b.pool("gap", t, avg=True, global_pool=True)
+    t = b.fc("fc", t, num_cls, in_feats=in_c)
+    b.softmax("prob", t)
+    in_dims = {"data": Dims.of(img=img, chan=3, y=in_sz, x=in_sz)}
+    return b.done(in_dims), in_dims
+
+
 MODELS = {
+    "mini_resnet": build_mini_resnet,
     "alexnet_ng_conv": build_alexnet_ng_conv,
     "nin_imagenet": build_nin_imagenet,
     "googlenet_conv": build_googlenet_conv,

@@ -1,0 +1,85 @@
+"""Mesh sharding + training-step tests (8 virtual CPU devices via conftest)."""
+
+import numpy as np
+import pytest
+
+import boda_tpu.graph  # noqa: F401
+from boda_tpu.models.zoo import build_mini_resnet
+from boda_tpu.parallel.mesh import (input_shardings, make_mesh, named_sharding,
+                                    weight_shardings)
+from boda_tpu.parallel.train import (build_net_fn, find_logits_node,
+                                     make_train_step)
+
+
+def test_make_mesh():
+    import jax
+    assert len(jax.devices()) == 8
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        make_mesh({"dp": 4, "tp": 4})
+
+
+def test_find_logits():
+    pipe, _ = build_mini_resnet(img=2)
+    assert find_logits_node(pipe) == "fc"
+
+
+def test_train_step_single_device():
+    import jax
+    pipe, in_dims = build_mini_resnet(img=2, num_cls=8, in_sz=16)
+    step = jax.jit(make_train_step(pipe, "fc", lr=0.01))
+    weights = {k: w.data for k, w in pipe.weights.items()}
+    rng = np.random.RandomState(0)
+    x = rng.randn(*in_dims["data"].shape).astype(np.float32)
+    labels = rng.randint(0, 8, size=(2,)).astype(np.int32)
+    losses = []
+    for _ in range(5):
+        loss, weights = step(weights, {"data": x}, labels)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # learns on a fixed batch
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 4), (8, 1), (1, 8)])
+def test_train_step_sharded_matches_single(dp, tp):
+    """The sharded step must be numerically equivalent to the local step."""
+    import jax
+    pipe, in_dims = build_mini_resnet(img=4, num_cls=16, in_sz=16)
+    step = make_train_step(pipe, "fc", lr=0.01, precision="highest")
+    weights = {k: w.data for k, w in pipe.weights.items()}
+    rng = np.random.RandomState(1)
+    x = rng.randn(*in_dims["data"].shape).astype(np.float32)
+    labels = rng.randint(0, 16, size=(4,)).astype(np.int32)
+
+    loss_local, w_local = jax.jit(step)(weights, {"data": x}, labels)
+
+    mesh = make_mesh({"dp": dp, "tp": tp})
+    w_shard = weight_shardings(pipe, mesh)
+    in_shard = input_shardings(in_dims, mesh)
+    dw = {k: jax.device_put(v, w_shard[k]) for k, v in weights.items()}
+    dx = jax.device_put(x, in_shard["data"])
+    dl = jax.device_put(labels, named_sharding(mesh, "dp") if 4 % dp == 0
+                        else named_sharding(mesh))
+    jstep = jax.jit(step, in_shardings=(w_shard, {"data": in_shard["data"]},
+                                        None),
+                    out_shardings=(named_sharding(mesh), w_shard))
+    with mesh:
+        loss_sh, w_sh = jstep(dw, {"data": dx}, dl)
+    assert abs(float(loss_sh) - float(loss_local)) < 1e-4
+    for k in w_local:
+        a = np.asarray(w_local[k])
+        b = np.asarray(w_sh[k])
+        assert np.allclose(a, b, atol=1e-4), f"weight {k} diverged"
+
+
+def test_net_fn_train_vs_infer_dropout():
+    pipe, in_dims = build_mini_resnet(img=2, num_cls=8, in_sz=16)
+    # mini_resnet has no dropout; just check build_net_fn runs and is pure
+    fn = build_net_fn(pipe, ["prob"])
+    weights = {k: w.data for k, w in pipe.weights.items()}
+    rng = np.random.RandomState(0)
+    x = rng.randn(*in_dims["data"].shape).astype(np.float32)
+    o1 = fn(weights, {"data": x})["prob"]
+    o2 = fn(weights, {"data": x})["prob"]
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
