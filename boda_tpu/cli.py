@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     except (ConfigError, LexpError) as e:
         sys.stderr.write(f"error: {e}\n")
         return 1
+    except SystemExit as e:
+        return int(e.code or 0)
     finally:
         timer_log_finalize()
 

@@ -7,6 +7,8 @@ _MODE_MODULES = [
     "boda_tpu.modes.basic",
     "boda_tpu.modes.cnet",
     "boda_tpu.modes.prof",
+    "boda_tpu.modes.test_cmds",
+    "boda_tpu.modes.test_compute",
     "boda_tpu.modes.rtc",
 ]
 
