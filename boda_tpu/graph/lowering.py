@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.dims import Dims
+from ..utils.dims import Dims, stable_hash
 from .pipe import ConvOp, ConvPipe, PipeError
 
 PRECISIONS = {"default": lax.Precision.DEFAULT,
@@ -254,7 +254,7 @@ def _lower_dropout(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
 
     # deterministic dropout: fixed seed per op (ref set_det_drop_seed,
     # has_conv_fwd.H:22 / rtc_fwd.cc:91-100 — reproducible masks for testing)
-    seed = ctx.det_drop_seed + (hash(op.name) & 0xFFFF)
+    seed = ctx.det_drop_seed + (stable_hash(op.name) & 0xFFFF)
 
     def fn(x):
         key = jax.random.PRNGKey(seed)

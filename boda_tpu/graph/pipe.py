@@ -177,23 +177,27 @@ class ConvPipe:
         for wname, w in self.weights.items():
             self.get_or_make_node(wname).dims = w.dims
         for op_name in self.topo_op_order():
-            op = self.ops[op_name]
-            oi = OP_INFOS[op.type]
-            for b in op.bots:
-                if self.nodes[b].dims is None:
-                    raise PipeError(f"op {op.name!r}: input node {b!r} has no dims")
-            if oi.same_dims:
-                out_dims = [self.nodes[op.bots[0]].dims] * len(op.tops)
-            else:
-                out_dims = oi.calc(self, op)
-            if len(out_dims) != len(op.tops):
-                raise PipeError(f"op {op.name!r}: {len(out_dims)} inferred dims for "
-                                f"{len(op.tops)} tops")
-            for t, d in zip(op.tops, out_dims):
-                cur = self.nodes[t].dims
-                if cur is not None and not cur.matches(d):
-                    raise PipeError(f"node {t!r}: inconsistent dims {cur} vs {d}")
-                self.nodes[t].dims = d
+            self.infer_op_dims(op_name)
+
+    def infer_op_dims(self, op_name: str) -> None:
+        """Infer+assign the tops' dims of one op (bots must have dims)."""
+        op = self.ops[op_name]
+        oi = OP_INFOS[op.type]
+        for b in op.bots:
+            if self.nodes[b].dims is None:
+                raise PipeError(f"op {op.name!r}: input node {b!r} has no dims")
+        if oi.same_dims:
+            out_dims = [self.nodes[op.bots[0]].dims] * len(op.tops)
+        else:
+            out_dims = oi.calc(self, op)
+        if len(out_dims) != len(op.tops):
+            raise PipeError(f"op {op.name!r}: {len(out_dims)} inferred dims for "
+                            f"{len(op.tops)} tops")
+        for t, d in zip(op.tops, out_dims):
+            cur = self.nodes[t].dims
+            if cur is not None and not cur.matches(d):
+                raise PipeError(f"node {t!r}: inconsistent dims {cur} vs {d}")
+            self.nodes[t].dims = d
 
     def must_dims(self, node: str) -> Dims:
         d = self.nodes[node].dims

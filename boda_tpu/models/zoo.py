@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..graph.pipe import ConvOp, ConvPipe
-from ..utils.dims import NDA, Dims
+from ..utils.dims import NDA, Dims, stable_hash
 
 
 def _pair(v) -> tuple[int, int]:
@@ -32,7 +32,7 @@ class NetBuilder:
 
     # -- weights ----------------------------------------------------------------
     def _winit(self, name: str, dims: Dims, fan_in: int) -> str:
-        rng = np.random.RandomState((self.seed + hash(name)) % (2 ** 31))
+        rng = np.random.RandomState((self.seed + stable_hash(name)) % (2 ** 31))
         std = self.weight_scale * np.sqrt(2.0 / max(fan_in, 1))
         data = (rng.randn(*dims.shape) * std).astype(np.float32)
         self.pipe.weights[name] = NDA(dims, data)
@@ -114,7 +114,7 @@ class NetBuilder:
 
     def bn_scale(self, name: str, bot: str, chans: int) -> str:
         """Caffe-style BatchNorm (stats blobs) + Scale (learned affine)."""
-        rng = np.random.RandomState((self.seed + hash(name)) % (2 ** 31))
+        rng = np.random.RandomState((self.seed + stable_hash(name)) % (2 ** 31))
         self.pipe.weights[f"{name}__means"] = NDA(
             Dims.of(out_chan=chans), rng.randn(chans).astype(np.float32) * 0.1)
         self.pipe.weights[f"{name}__vars"] = NDA(

@@ -9,6 +9,7 @@ dense); device layout is owned by XLA, not by us.
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass
 from typing import Iterable, Optional, Sequence
 
@@ -29,6 +30,11 @@ _DTYPES = {
     "uint64": np.uint64,
     "bool": np.bool_,
 }
+
+
+def stable_hash(s: str) -> int:
+    """Deterministic 32-bit string hash (python's hash() is salted per-run)."""
+    return zlib.crc32(s.encode())
 
 
 def np_dtype(tn: str):
