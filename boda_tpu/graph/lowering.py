@@ -163,9 +163,8 @@ def _lower_pool(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
         return fn
 
     def fn(x):
-        neg_inf = jnp.array(-jnp.inf, dtype=jnp.float32)
         out = lax.reduce_window(
-            x.astype(jnp.float32), neg_inf, lax.max,
+            x.astype(jnp.float32), -jnp.inf, lax.max,
             window_dimensions=(1, 1, k[0], k[1]),
             window_strides=(1, 1, s[0], s[1]),
             padding=((0, 0), (0, 0), pad_y, pad_x))
@@ -325,7 +324,9 @@ def _lower_softmax(pipe, op, ctx):
 def _lower_sml(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
     def fn(x, labels):
         prob = _softmax(x, axis=1)
+        n_cls = x.shape[1]
         lab = labels.reshape(labels.shape[0]).astype(jnp.int32)
+        lab = jnp.clip(lab, 0, n_cls - 1)
         if prob.ndim == 4:
             p = prob[jnp.arange(prob.shape[0]), lab, 0, 0]
         else:
@@ -352,4 +353,59 @@ def _lower_accuracy(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
 def _lower_data(pipe, op, ctx):
     def fn(x):
         return (x,)
+    return fn
+
+
+# -- backward ops (graph autodiff; see graph/autodiff.py) ---------------------------
+
+@lower_rule("Bck")
+def _lower_bck(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    """Backward of one forward op = jax.vjp of its forward lowering.
+
+    Structurally mirrors the reference's explicit backward ops (BckConv,
+    Spreading, ZeroIfNonPos, BckLRN, BckDropout — ref conv_util.cc:753-877)
+    while inheriting exact-adjoint numerics from the forward rule."""
+    from .autodiff import _wants_grad
+    fwd = pipe.ops[op.p("fwd_op")]
+    fwd_fn = lower_op(pipe, fwd, ctx)
+    n_fwd_bots = len(fwd.bots)
+    grad_pos = [i for i, b in enumerate(fwd.bots) if _wants_grad(pipe, op, b)]
+    top_has_grad = set(op.p("top_has_grad") or [])
+    loss_node = op.p("loss_node")
+    is_loss = fwd.type == "SoftmaxWithLoss"
+
+    def fn(*args):
+        fwd_ins = list(args[:n_fwd_bots])
+        gs = list(args[n_fwd_bots:])
+
+        def f(*grad_ins):
+            full = list(fwd_ins)
+            for pos, gi in zip(grad_pos, grad_ins):
+                full[pos] = gi
+            return fwd_fn(*full)
+
+        primals = [fwd_ins[p] for p in grad_pos]
+        outs, vjp = jax.vjp(f, *primals)
+        cts = []
+        gi = 0
+        for t, out in zip(fwd.tops, outs):
+            if is_loss and t == loss_node:
+                cts.append(jnp.ones_like(out))  # d(sum loss)/d(loss_i) = 1
+            elif t in top_has_grad:
+                cts.append(gs[gi].astype(out.dtype))
+                gi += 1
+            else:
+                cts.append(jnp.zeros_like(out))
+        grads = vjp(tuple(cts))
+        return tuple(g.astype(p.dtype) for g, p in zip(grads, primals))
+    return fn
+
+
+@lower_rule("GradAccum")
+def _lower_gradaccum(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    def fn(*parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return (out,)
     return fn

@@ -46,6 +46,9 @@ class TestCompute(Mode):
         if self.add_bck_ops:
             from ..graph.autodiff import add_bck_ops
             add_bck_ops(pipe)
+            for bn in pipe.bots():  # e.g. the new 'label' input
+                if bn not in in_dims and pipe.nodes[bn].dims is not None:
+                    in_dims[bn] = pipe.nodes[bn].dims
         names = list(self.engines)
         engs = list(self.engines.values())
         for e in engs:
