@@ -45,7 +45,13 @@ class FwdEngine:
     platform = Field(str, default="", help="jax platform override ('' = default)")
     train = Field(bool, default="0", help="training mode (dropout active)")
     det_drop_seed = Field(int, default="0", help="deterministic dropout seed")
+    # per-node activation statistics computed on-device (ref var_stats.cucl /
+    # gen_op_stats, rtc_fwd.cc:163); surfaced via get_info_log()
     per_layer_stats = Field(bool, default="0", help="collect per-node var stats")
+    # fixed-point quantization injection (ref gen_op_quantize, rtc_fwd.cc:212):
+    # node name -> (max_val=...,keep_bits=...) clamps + drops mantissa bits
+    quantize = Field((dict, "lexp"), default="()",
+                     help="per-node quantization: (node=(max_val=8,keep_bits=6),...)")
 
     def base_setup(self) -> None:
         self.pipe: Optional[ConvPipe] = None
@@ -95,13 +101,26 @@ class FwdEngine:
     # -- compilation ----------------------------------------------------------------
     def build_raw_fn(self, out_names: list[str]) -> Callable:
         """The un-jitted pure net function fn(weights, inputs) -> {name: arr}."""
+        import jax.numpy as jnp
         pipe = self.pipe
         topo = pipe.topo_op_order()
         lowered = self._lowered
+        quant = {}
+        for node, q in (self.quantize or {}).items():
+            qv = {k: float(v.leaf_val) for k, v in q.kids}
+            quant[node] = (qv.get("max_val", 8.0), int(qv.get("keep_bits", 8)))
+        stats = self.per_layer_stats
+
+        def _quantize(x, max_val, keep_bits):
+            # clamp + fixed-point bit-drop (ref quantize.cucl semantics)
+            levels = float(2 ** keep_bits)
+            q = jnp.clip(x, 0.0, max_val)
+            return jnp.floor(q * (levels / max_val)) * (max_val / levels)
 
         def net_fn(weights: dict, inputs: dict):
             vals = dict(inputs)
             vals.update(weights)
+            stat_out = {}
             for op_name in topo:
                 op = pipe.ops[op_name]
                 try:
@@ -109,8 +128,19 @@ class FwdEngine:
                 except KeyError as e:
                     raise PipeError(f"op {op_name!r}: missing input {e}") from None
                 outs = lowered[op_name](*bot_vals)
-                vals.update(zip(op.tops, outs))
-            return {n: vals[n] for n in out_names}
+                for t, v in zip(op.tops, outs):
+                    if t in quant:
+                        v = _quantize(v, *quant[t])
+                    vals[t] = v
+                    if stats:
+                        v32 = v.astype(jnp.float32)
+                        stat_out[t] = jnp.stack(
+                            [jnp.min(v32), jnp.max(v32), jnp.sum(v32),
+                             jnp.sum(v32 * v32)])
+            res = {n: vals[n] for n in out_names}
+            if stats:
+                res["__stats__"] = stat_out
+            return res
 
         return net_fn
 
@@ -137,6 +167,14 @@ class FwdEngine:
             jax.tree_util.tree_map(
                 lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
                 outs)
+        stats = outs.pop("__stats__", None) if isinstance(outs, dict) else None
+        if stats is not None:
+            for n, s in stats.items():
+                s = np.asarray(s)
+                cnt = self.pipe.must_dims(n).num_elems()
+                self._info_log.append(
+                    f"var_stats {n}: min={s[0]:.6g} max={s[1]:.6g} "
+                    f"avg={s[2] / cnt:.6g} sum_sq={s[3]:.6g} cnt={cnt}")
         with timer("fwd_d2h"):
             res = {}
             for n, arr in outs.items():

@@ -1,0 +1,105 @@
+"""cnn_prof / cnn_op_info: per-op FLOPs/AI/runtime/%-peak analysis.
+
+Parity target: ``cnn_op_info_t`` / ``cnn_prof_t`` (ref src/cnn-prof.cc:24,:132
++ pysrc/flops.py): per-op FLOPs, bytes, arithmetic intensity, and — when
+``--time=1`` — measured runtime and %-of-peak on the current device, by
+running each conv/fc op standalone through the rtc layer.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .. import graph  # noqa: F401
+from ..config import Field, Mode, register
+from ..utils.dims import Dims
+from .cnet import load_net
+from .rtc import _default_peak
+
+
+@register("mode", "cnn_prof", help="per-op FLOPs/AI (+optional timed %-peak) table")
+class CnnProf(Mode):
+    model = Field(str, default="", help="zoo model name")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    img = Field(int, default="1", help="batch size")
+    in_sz = Field(int, default="0", help="input size override")
+    time = Field(bool, default="0", help="run+time each matmul-shaped op on a backend")
+    be = Field("be", default="(be=tpu)", help="backend for timing")
+    peak_flops = Field(float, default="0", help="peak FLOP/s (0=auto per platform)")
+    tune = Field("lexp", default="()", help="op_tune for generated kernels")
+    json_out = Field(bool, default="0", help="emit one json line per op")
+
+    def main(self) -> None:
+        pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img, self.in_sz)
+        rows = []
+        tot_fl = tot_secs = 0.0
+        for op_name in pipe.topo_op_order():
+            op = pipe.ops[op_name]
+            if op.type not in ("Convolution", "InnerProduct"):
+                continue
+            fl = pipe.op_flops(op_name)
+            byts = sum(pipe.must_dims(b).bytes_sz() for b in op.bots) + \
+                sum(pipe.must_dims(t).bytes_sz() for t in op.tops)
+            ai = fl / max(byts, 1)
+            secs = None
+            if self.time:
+                secs = self._time_op(pipe, op)
+                tot_secs += secs
+            tot_fl += fl
+            rows.append((op_name, op.type, fl, byts, ai, secs))
+        peak = self.peak_flops or _default_peak(
+            self.be.get_plat_tag() if self.time else "", "float32")
+        for name, typ, fl, byts, ai, secs in rows:
+            if self.json_out:
+                rec = {"op": name, "type": typ, "flops": fl, "bytes": byts,
+                       "AI": round(ai, 2)}
+                if secs is not None:
+                    rec["us"] = round(secs * 1e6, 1)
+                    rec["GF/s"] = round(fl / secs / 1e9, 1)
+                    if peak:
+                        rec["pct_peak"] = round(100 * fl / secs / peak, 2)
+                print(json.dumps(rec))
+            else:
+                line = f"{name:<28} {typ:<13} {fl / 1e6:10.1f}MF {ai:8.1f}AI"
+                if secs is not None:
+                    line += f" {secs * 1e6:9.1f}us {fl / secs / 1e9:8.1f}GF/s"
+                    if peak:
+                        line += f" {100 * fl / secs / peak:6.2f}%pk"
+                print(line)
+        line = f"total: {tot_fl / 1e9:.3f}GF over {len(rows)} matmul-ops"
+        if self.time and tot_secs:
+            line += (f", {tot_secs * 1e6:.0f}us, {tot_fl / tot_secs / 1e9:.1f}GF/s"
+                     f" ({100 * tot_fl / tot_secs / max(peak, 1):.2f}% peak)")
+        print(line)
+
+    def _time_op(self, pipe, op) -> float:
+        """Time one conv/fc op standalone through the rtc layer."""
+        from ..ops.op_base import Op
+        from ..ops.registry import Codegen
+        from ..ops.tune import OpTune
+        from ..rtc.compute import Call
+        tune = OpTune.from_lexp(self.tune)
+        cg = Codegen(self.be)
+        ind = pipe.must_dims(op.bots[0])
+        if op.type == "InnerProduct":
+            fd = pipe.must_dims(op.bots[1])
+            M, K, N = ind["img"], fd["in_feats"], fd["out_chan"]
+            rop = Op("sgemm", {}, {"a": Dims.of(M=M, K=K),
+                                   "b": Dims.of(K=K, N=N),
+                                   "c": Dims.of(M=M, N=N)})
+        else:
+            od = pipe.must_dims(op.tops[0])
+            fd = pipe.must_dims(op.bots[1])
+            rop = Op("conv", {"stride": str(op.stride()[0]),
+                              "pad": str(op.pad()[0])},
+                     {"in": ind, "filts": fd, "out": od,
+                      "biases": Dims.of(out_chan=fd["out_chan"])})
+        fi = cg.gen_func(rop, tune)
+        for pname in fi.in_names + fi.out_names:
+            vn = f"{op.name}.{pname}"
+            if not self.be.var_exists(vn):
+                self.be.create_var_with_dims(vn, rop.dims(pname))
+        cg.compile()
+        arg_map = {p: f"{op.name}.{p}" for p, _ in fi.args}
+        cg.run_func(fi, arg_map)
+        return self.be.time_func(Call(fi.name, arg_map), n_iters=10)

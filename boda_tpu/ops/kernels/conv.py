@@ -28,7 +28,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...rtc.compute import FuncInfo
 from ...utils.dims import Dims
+from ..op_base import Op
+from ..registry import GenCtx, kernel_gen
 from ..tune import OpTune
 from .common import cdiv, round_up
 from .sgemm import PRECISIONS
@@ -140,3 +143,50 @@ def pallas_conv2d_nhwc(x, w, bias, *, stride=(1, 1), pad=(0, 0),
     )(xg, w, bias2d)
     out = out.reshape(n, r * boy, ow, ocp)
     return out[:, :oh, :, :oc]
+
+
+# -- standalone rtc-layer conv op -----------------------------------------------------
+# signature: (type=conv,stride=S,pad=P,in=(img,chan,y,x),filts=(out_chan,in_chan,y,x),
+#             biases=(out_chan),out=(img,chan,y,x))  [NCHW names; ref conv.cucl]
+
+@kernel_gen("conv")
+def gen_conv(op: Op, tune: OpTune, ctx: GenCtx) -> FuncInfo:
+    import jax.numpy as jnp
+    from jax import lax
+    ind, fd, od = op.dims("in"), op.dims("filts"), op.dims("out")
+    s = (op.ival("stride", 1), op.ival("stride", 1))
+    p = (op.ival("pad", 0), op.ival("pad", 0))
+    relu = op.ival("relu", 0)
+    kh, kw = fd["y"], fd["x"]
+    flops = 2.0 * od.num_elems() * fd["in_chan"] * kh * kw
+    byts = float(ind.bytes_sz() + fd.bytes_sz() + od.bytes_sz())
+    use_pallas = (not ctx.use_ref and not tune.use_xla and s == (1, 1))
+    blocks = conv_blocks(ind, fd, od, tune) if use_pallas else None
+
+    if blocks is not None:
+        def fn(x, w, b):
+            xh = x.transpose(0, 2, 3, 1)
+            wh = w.transpose(2, 3, 1, 0)
+            out = pallas_conv2d_nhwc(xh, wh, b, stride=s, pad=p, relu=bool(relu),
+                                     blocks=blocks, precision=tune.precision,
+                                     interpret=ctx.interpret)
+            return out.transpose(0, 3, 1, 2)
+        info = f"pallas_conv {blocks}"
+    else:
+        prec = PRECISIONS[tune.precision if not ctx.use_ref else "highest"]
+
+        def fn(x, w, b):
+            out = lax.conv_general_dilated(
+                x, w, window_strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=prec,
+                preferred_element_type=jnp.float32)
+            out = out + b.reshape(1, -1, 1, 1)
+            if relu:
+                out = jnp.maximum(out, 0.0)
+            return out.astype(x.dtype)
+        info = "xla_conv" + (" (ref)" if ctx.use_ref else "")
+
+    return FuncInfo(name="", args=[("in", "in"), ("filts", "in"),
+                                   ("biases", "in"), ("out", "out")],
+                    fn=fn, flops=flops, bytes_accessed=byts, info=info,
+                    in_dims=[ind, fd, Dims.of(out_chan=fd["out_chan"], tn=ind.tn)])

@@ -81,7 +81,7 @@ class Codegen:
 
 # import kernel modules so their generators register (mirrors modes_all)
 def _import_kernels() -> None:
-    from .kernels import elementwise, gen_data, sgemm  # noqa: F401
+    from .kernels import conv, elementwise, gen_data, sgemm  # noqa: F401
 
 
 _import_kernels()

@@ -1,0 +1,51 @@
+"""Aux-parity tests: cnn_prof, var stats, quantization injection."""
+
+import numpy as np
+
+import boda_tpu.modes_all  # noqa: F401
+from boda_tpu.cli import main
+from boda_tpu.config import make
+from boda_tpu.models.zoo import build_mini_resnet
+from boda_tpu.utils.dims import NDA
+
+
+def test_cnn_prof_mode(capsys, tmp_path):
+    rc = main(["cnn_prof", "--model=mini_resnet", "--img=2",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "conv1" in out and "total:" in out and "MF" in out
+
+
+def test_cnn_prof_timed(capsys, tmp_path):
+    rc = main(["cnn_prof", "--model=mini_resnet", "--img=1", "--time=1",
+               "--be=(be=interp)", "--json-out=1",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"us"' in out and '"GF/s"' in out
+
+
+def test_var_stats_and_quantize():
+    pipe, in_dims = build_mini_resnet(img=1, num_cls=8, in_sz=16)
+    rng = np.random.RandomState(0)
+    x = NDA(in_dims["data"], rng.randn(*in_dims["data"].shape).astype(np.float32))
+
+    eng = make("conv_fwd", "xla", per_layer_stats=True)
+    eng.init(pipe)
+    outs = eng.run_fwd({"data": x}, ["prob"])
+    log = eng.get_info_log()
+    assert "var_stats conv1:" in log and "min=" in log
+
+    # quantization: clamps negatives to 0 and snaps to a coarse grid
+    from boda_tpu.utils.lexp import parse_lexp
+    q = parse_lexp("(conv1=(max_val=2,keep_bits=2))")
+    eng2 = make("conv_fwd", "xla", quantize={k: v for k, v in q.kids})
+    eng2.init(pipe)
+    out_q = eng2.run_fwd({"data": x}, ["conv1"])["conv1"].data
+    assert out_q.min() >= 0.0 and out_q.max() <= 2.0
+    grid = np.unique(out_q)
+    assert len(grid) <= 5  # 2 bits + clamp
+    # and it changes downstream results vs unquantized
+    base = eng.run_fwd({"data": x}, ["conv1"])["conv1"].data
+    assert not np.array_equal(base, out_q)
