@@ -30,7 +30,9 @@ class CnnProf(Mode):
     json_out = Field(bool, default="0", help="emit one json line per op")
 
     def main(self) -> None:
+        from ..ops.registry import Codegen
         pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img, self.in_sz)
+        self._cg = Codegen(self.be)
         rows = []
         tot_fl = tot_secs = 0.0
         for op_name in pipe.topo_op_order():
@@ -75,11 +77,10 @@ class CnnProf(Mode):
     def _time_op(self, pipe, op) -> float:
         """Time one conv/fc op standalone through the rtc layer."""
         from ..ops.op_base import Op
-        from ..ops.registry import Codegen
         from ..ops.tune import OpTune
         from ..rtc.compute import Call
         tune = OpTune.from_lexp(self.tune)
-        cg = Codegen(self.be)
+        cg = self._cg
         ind = pipe.must_dims(op.bots[0])
         if op.type == "InnerProduct":
             fd = pipe.must_dims(op.bots[1])
