@@ -1,0 +1,241 @@
+"""Application modes: predict, pyramid packing, dense-equivalence tests, scoring.
+
+Parity targets: ``cnet_predict`` (ref src/caffeif.H:120), ``img_pyra_pack``/
+``blf_pack`` (ref src/blf_pack.cc), ``conv_pyra`` (ref src/conv_pyra.cc:23),
+``test_dense`` (ref src/test_dense.cc:44), ``score``/``load_pil``
+(ref src/results_io.cc).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .. import graph  # noqa: F401
+from ..config import ConfigError, Field, Mode, register
+from ..utils.dims import NDA, Dims
+from ..utils.img_io import Img
+from .cnet import load_net
+
+
+@register("mode", "cnet_predict", help="classify image(s) with a net; print top-N")
+class CnetPredict(Mode):
+    model = Field(str, default="", help="zoo model name")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    weights_fn = Field("filename", default="", help="caffemodel weights")
+    conv_fwd = Field("conv_fwd", default="(mode=xla)", help="forward engine")
+    img_fns = Field((list, "filename"), req=True, help="input image files")
+    out_node_name = Field(str, default="prob", help="output prob node")
+    top_n = Field(int, default="5", help="print top N classes")
+    labels_fn = Field("filename", default="", help="class-label names, one/line")
+    in_sz = Field(int, default="0", help="input size (0=model default)")
+    scale = Field(float, default="1.0", help="input scale after mean subtract")
+
+    def main(self) -> None:
+        from ..apps.preproc import img_to_batch_np
+        imgs = [Img.load(fn) for fn in self.img_fns]
+        pipe, in_dims = load_net(self.model, self.ptt_fn, self.weights_fn,
+                                 img=len(imgs), in_sz=self.in_sz)
+        d = in_dims["data"]
+        batch = np.zeros((len(imgs), d["y"], d["x"], 4), np.uint8)
+        for i, im in enumerate(imgs):
+            batch[i] = im.resize(d["y"], d["x"]).data
+        x = img_to_batch_np(batch, scale=self.scale).astype(np.float32)
+        self.conv_fwd.init(pipe)
+        outs = self.conv_fwd.run_fwd({"data": NDA(d, x)}, [self.out_node_name])
+        prob = outs[self.out_node_name].data.reshape(len(imgs), -1)
+        labels = None
+        if self.labels_fn:
+            with open(self.labels_fn) as f:
+                labels = [ln.strip() for ln in f]
+        for i, fn in enumerate(self.img_fns):
+            top = np.argsort(-prob[i])[: self.top_n]
+            items = [{"cls": int(c),
+                      "label": labels[c] if labels and c < len(labels) else str(int(c)),
+                      "p": round(float(prob[i][c]), 5)} for c in top]
+            print(json.dumps({"img": os.path.basename(fn), "top": items}))
+
+
+@register("mode", "blf_pack", help="bottom-left-fill pack a list of box sizes")
+class BlfPack(Mode):
+    sizes = Field((list, "lexp"), req=True,
+                  help="box sizes, e.g. (a=(y=100,x=200),b=(y=50,x=50))")
+    plane_y = Field(int, default="512", help="plane height")
+    plane_x = Field(int, default="512", help="plane width")
+    pad = Field(int, default="0", help="padding between boxes")
+
+    def main(self) -> None:
+        from ..apps.pyramid import blf_pack
+        sizes = []
+        for l in self.sizes:
+            g = {k: int(v.leaf_val) for k, v in l.kids}
+            sizes.append((g["y"], g["x"]))
+        placements = blf_pack(sizes, (self.plane_y, self.plane_x), pad=self.pad)
+        for i, p in enumerate(placements):
+            print(f"box {i} sz=({p.sz[0]},{p.sz[1]}) -> plane {p.plane} "
+                  f"at ({p.y},{p.x})")
+        print(f"blf_pack: {len(sizes)} boxes into "
+              f"{max(p.plane for p in placements) + 1} plane(s)")
+
+
+@register("mode", "img_pyra_pack", help="pack an image's scale pyramid into planes")
+class ImgPyraPack(Mode):
+    img_fn = Field("filename", req=True, help="input image")
+    plane_y = Field(int, default="512", help="plane height")
+    plane_x = Field(int, default="512", help="plane width")
+    interval = Field(int, default="4", help="scales per octave")
+    min_sz = Field(int, default="32", help="smallest pyramid dim")
+    write_planes = Field(bool, default="0", help="save plane images as PNGs")
+
+    def main(self) -> None:
+        from ..apps.pyramid import img_pyra_pack
+        img = Img.load(self.img_fn)
+        pack = img_pyra_pack(img, (self.plane_y, self.plane_x),
+                             interval=self.interval, min_sz=self.min_sz)
+        for i, (p, sz) in enumerate(zip(pack.placements, pack.sizes)):
+            print(f"scale {i}: {sz[0]}x{sz[1]} -> plane {p.plane} at ({p.y},{p.x})")
+        print(f"img_pyra_pack: {len(pack.sizes)} scales into "
+              f"{pack.planes.shape[0]} plane(s) of {self.plane_y}x{self.plane_x}")
+        if self.write_planes:
+            for i in range(pack.planes.shape[0]):
+                Img(pack.planes[i]).save(self.out_path(f"plane_{i}.png"))
+
+
+@register("mode", "conv_pyra", help="run conv features over a packed scale pyramid")
+class ConvPyra(Mode):
+    model = Field(str, default="mini_resnet", help="zoo model (conv trunk used)")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    img_fn = Field("filename", req=True, help="input image")
+    out_node_name = Field(str, req=True, help="feature node to extract")
+    conv_fwd = Field("conv_fwd", default="(mode=xla)", help="engine")
+    plane_sz = Field(int, default="256", help="square plane size")
+    interval = Field(int, default="4", help="scales per octave")
+    min_sz = Field(int, default="32", help="smallest pyramid dim")
+
+    def main(self) -> None:
+        from ..apps.preproc import img_to_batch_np
+        from ..apps.pyramid import feat_coords_of_placement, img_pyra_pack
+        img = Img.load(self.img_fn)
+        pack = img_pyra_pack(img, (self.plane_sz, self.plane_sz),
+                             interval=self.interval, min_sz=self.min_sz)
+        n_planes = pack.planes.shape[0]
+        pipe, in_dims = load_net(self.model, self.ptt_fn, "", img=n_planes,
+                                 in_sz=self.plane_sz)
+        self.conv_fwd.init(pipe)
+        d = in_dims["data"]
+        x = img_to_batch_np(pack.planes).astype(np.float32)
+        outs = self.conv_fwd.run_fwd({"data": NDA(d, x)}, [self.out_node_name])
+        feat = outs[self.out_node_name]
+        csi = pipe.nodes[self.out_node_name].csi
+        print(f"feature node {self.out_node_name} dims={feat.dims} "
+              f"support_stride={csi.support_stride} pad={csi.eff_tot_pad}")
+        for i, p in enumerate(pack.placements):
+            fy0, fx0, fy1, fx1 = feat_coords_of_placement(
+                p, csi.support_stride, csi.eff_tot_pad)
+            sub = feat.data[p.plane, :, fy0:fy1, fx0:fx1]
+            print(f"scale {i} ({p.sz[0]}x{p.sz[1]}): feat[{p.plane}, :, "
+                  f"{fy0}:{fy1}, {fx0}:{fx1}] mean={float(sub.mean()):.5f}")
+
+
+@register("mode", "test_dense", help="dense-vs-cropped-window feature equivalence")
+class TestDense(Mode):
+    """Scientific validation of the dense pyramid trick (ref test_dense.cc:44):
+    features computed on a large input must equal features computed on an
+    aligned crop, at the positions the receptive-field calculus predicts."""
+    model = Field(str, default="mini_resnet", help="zoo conv model")
+    conv_fwd = Field("conv_fwd", default="(mode=xla)", help="engine")
+    out_node_name = Field(str, req=True, help="conv feature node to compare")
+    big_sz = Field(int, default="64", help="large input size")
+    win_sz = Field(int, default="32", help="cropped window size")
+    mrd_toler = Field(float, default="1e-5", help="comparison tolerance")
+
+    def main(self) -> None:
+        import sys
+
+        from ..ops.kernels.gen_data import gen_data_pattern
+        from ..utils.digest import comp_vars
+        pipe_b, ind_b = load_net(self.model, "", "", img=1, in_sz=self.big_sz)
+        pipe_w, ind_w = load_net(self.model, "", "", img=1, in_sz=self.win_sz)
+        csi = pipe_b.nodes[self.out_node_name].csi
+        sy, sx = csi.support_stride
+        if not sy or not sx:
+            raise ConfigError(f"node {self.out_node_name} has global support; "
+                              "pick a conv node")
+        db = ind_b["data"]
+        x_big = np.asarray(gen_data_pattern(db.shape, db.tn), np.float32)
+        # crop aligned to the support stride so feature grids align
+        off_y, off_x = sy * 2, sx * 2
+        x_win = x_big[:, :, off_y:off_y + self.win_sz, off_x:off_x + self.win_sz]
+        eng_b = self.conv_fwd
+        eng_b.init(pipe_b)
+        fb = eng_b.run_fwd({"data": NDA(db, x_big)}, [self.out_node_name])
+        from ..config import make
+        eng_w = make("conv_fwd", type(eng_b)._tid, precision=eng_b.precision)
+        eng_w.init(pipe_w)
+        fw = eng_w.run_fwd({"data": NDA(ind_w["data"], x_win)},
+                           [self.out_node_name])
+        big = fb[self.out_node_name].data
+        win = fw[self.out_node_name].data
+        fy, fx = off_y // sy, off_x // sx
+        wy, wx = win.shape[2], win.shape[3]
+        # interior only: border features see different (padded) context
+        m = 2
+        a = big[:, :, fy + m:fy + wy - m, fx + m:fx + wx - m]
+        b = win[:, :, m:wy - m, m:wx - m]
+        scale = max(1e-30, float(np.abs(a).max()))
+        r = comp_vars(a, b, mrd_toler=self.mrd_toler, atol=self.mrd_toler * scale)
+        print(f"test_dense {self.model}/{self.out_node_name}: "
+              f"{'PASS' if r.ok() else 'FAIL'} ({r}) "
+              f"stride=({sy},{sx}) off=({off_y},{off_x})")
+        if not r.ok():
+            sys.exit(1)
+
+
+@register("mode", "score", help="score detections vs ground truth (VOC PR/mAP)")
+class Score(Mode):
+    dets_fn = Field("filename", req=True, help="detections file")
+    gt_fn = Field("filename", req=True, help="ground-truth file")
+    iou = Field(float, default="0.5", help="IoU match threshold")
+    use_07_metric = Field(bool, default="0", help="11-point VOC07 AP")
+    prc_fn = Field(str, default="", help="write per-class PR points to file")
+
+    def main(self) -> None:
+        from ..apps.scoring import load_dets_file, load_gt_file, score_all
+        dets = load_dets_file(self.dets_fn)
+        gt = load_gt_file(self.gt_fn)
+        results, mAP = score_all(dets, gt, self.iou, self.use_07_metric)
+        for r in results:
+            print(f"class {r.cls:<16} AP={r.ap:.4f} n_gt={r.n_gt} n_det={r.n_det}")
+        print(f"mAP={mAP:.4f} over {len(results)} classes")
+        if self.prc_fn:
+            with open(self.out_path(self.prc_fn), "w") as f:
+                for r in results:
+                    for rec, prec in zip(r.recall, r.precision):
+                        f.write(f"{r.cls} {rec:.6f} {prec:.6f}\n")
+
+
+@register("mode", "load_pil", help="load a PASCAL image list + annotations; dump stats")
+class LoadPil(Mode):
+    ann_dir = Field("filename", req=True, help="dir of VOC annotation XMLs")
+    img_list_fn = Field("filename", req=True, help="image-id list, one per line")
+
+    def main(self) -> None:
+        from ..apps.scoring import load_pascal_annotation
+        with open(self.img_list_fn) as f:
+            ids = [ln.split()[0] for ln in f if ln.strip()]
+        n_obj = 0
+        by_cls: dict[str, int] = {}
+        for iid in ids:
+            fn = os.path.join(self.ann_dir, f"{iid}.xml")
+            if not os.path.exists(fn):
+                raise ConfigError(f"missing annotation {fn!r}")
+            ann = load_pascal_annotation(fn)
+            for cls, boxes in ann.items():
+                by_cls[cls] = by_cls.get(cls, 0) + len(boxes)
+                n_obj += len(boxes)
+        for cls in sorted(by_cls):
+            print(f"{cls}: {by_cls[cls]}")
+        print(f"load_pil: {len(ids)} images, {n_obj} objects, "
+              f"{len(by_cls)} classes")

@@ -4,6 +4,7 @@
 # Keep this list sorted; gate optional-dependency modules with try/except.
 
 _MODE_MODULES = [
+    "boda_tpu.modes.apps",
     "boda_tpu.modes.basic",
     "boda_tpu.modes.cnet",
     "boda_tpu.modes.cnn_prof",
