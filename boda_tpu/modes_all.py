@@ -13,6 +13,7 @@ _MODE_MODULES = [
     "boda_tpu.modes.test_cmds",
     "boda_tpu.modes.test_compute",
     "boda_tpu.modes.rtc",
+    "boda_tpu.modes.surgery_modes",
 ]
 
 import importlib
