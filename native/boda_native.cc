@@ -1,0 +1,270 @@
+// boda_native: the native host-side data path feeding the TPU.
+//
+// Parity role: the reference's C++ image/data plumbing — turbojpeg decode
+// (ref src/img_io-turbojpeg.cc), filtered resampling (ref src/img_io.cc),
+// input-batch preprocessing (ref src/caffeif.H:13
+// subtract_mean_and_copy_img_to_batch) and the multi-process data feeding
+// role of its IPC/data-stream layers — redesigned as a threaded prefetching
+// batch loader so host decode overlaps device compute.
+//
+// Exposed as a C ABI consumed via ctypes (boda_tpu/utils/native.py).
+// Build: native/Makefile -> libboda_native.so (links system libjpeg).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <atomic>
+#include <condition_variable>
+#include <csetjmp>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// jpeg decode (RGBA out; alpha=255)
+// ---------------------------------------------------------------------------
+
+struct bn_err_mgr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+  char msg[JMSG_LENGTH_MAX];
+};
+
+static void bn_err_exit(j_common_ptr cinfo) {
+  bn_err_mgr* e = reinterpret_cast<bn_err_mgr*>(cinfo->err);
+  (*cinfo->err->format_message)(cinfo, e->msg);
+  longjmp(e->jb, 1);
+}
+
+// returns 0 on success; fills *out_y/*out_x. out must hold y*x*4 bytes when
+// out != null; call once with out=null to query dims.
+int bn_jpeg_decode(const uint8_t* buf, int64_t len, uint8_t* out,
+                   int64_t* out_y, int64_t* out_x, char* err, int64_t err_len) {
+  jpeg_decompress_struct cinfo;
+  bn_err_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = bn_err_exit;
+  if (setjmp(jerr.jb)) {
+    snprintf(err, err_len, "%s", jerr.msg);
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *out_y = cinfo.output_height;
+  *out_x = cinfo.output_width;
+  if (!out) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  std::vector<uint8_t> row(cinfo.output_width * 3);
+  uint8_t* rp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    int64_t yy = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    uint8_t* dst = out + yy * (*out_x) * 4;
+    for (int64_t x = 0; x < *out_x; x++) {
+      dst[x * 4 + 0] = row[x * 3 + 0];
+      dst[x * 4 + 1] = row[x * 3 + 1];
+      dst[x * 4 + 2] = row[x * 3 + 2];
+      dst[x * 4 + 3] = 255;
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// bilinear RGBA resize
+// ---------------------------------------------------------------------------
+
+void bn_resize_bilinear_rgba(const uint8_t* src, int64_t sy, int64_t sx,
+                             uint8_t* dst, int64_t dy, int64_t dx) {
+  const double fy = dy > 1 ? double(sy - 1) / (dy - 1) : 0.0;
+  const double fx = dx > 1 ? double(sx - 1) / (dx - 1) : 0.0;
+  for (int64_t y = 0; y < dy; y++) {
+    double syf = y * fy;
+    int64_t y0 = int64_t(syf);
+    int64_t y1 = y0 + 1 < sy ? y0 + 1 : sy - 1;
+    double wy = syf - y0;
+    for (int64_t x = 0; x < dx; x++) {
+      double sxf = x * fx;
+      int64_t x0 = int64_t(sxf);
+      int64_t x1 = x0 + 1 < sx ? x0 + 1 : sx - 1;
+      double wx = sxf - x0;
+      const uint8_t* p00 = src + (y0 * sx + x0) * 4;
+      const uint8_t* p01 = src + (y0 * sx + x1) * 4;
+      const uint8_t* p10 = src + (y1 * sx + x0) * 4;
+      const uint8_t* p11 = src + (y1 * sx + x1) * 4;
+      uint8_t* d = dst + (y * dx + x) * 4;
+      for (int c = 0; c < 4; c++) {
+        double v = p00[c] * (1 - wy) * (1 - wx) + p01[c] * (1 - wy) * wx +
+                   p10[c] * wy * (1 - wx) + p11[c] * wy * wx;
+        d[c] = uint8_t(v + 0.5);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// preprocessing: RGBA u8 -> NCHW float BGR mean-subtracted
+// (host reference of apps/preproc.img_to_batch; the on-device jax version is
+//  preferred for TPU feeding — this one serves CPU-side consumers/tests)
+// ---------------------------------------------------------------------------
+
+void bn_rgba_to_nchw_bgr(const uint8_t* src, int64_t n, int64_t y, int64_t x,
+                         const float* mean_bgr, float scale, float* out) {
+  const int64_t plane = y * x;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* s = src + i * plane * 4;
+    float* o = out + i * 3 * plane;
+    for (int64_t p = 0; p < plane; p++) {
+      o[0 * plane + p] = (float(s[p * 4 + 2]) - mean_bgr[0]) * scale;  // B
+      o[1 * plane + p] = (float(s[p * 4 + 1]) - mean_bgr[1]) * scale;  // G
+      o[2 * plane + p] = (float(s[p * 4 + 0]) - mean_bgr[2]) * scale;  // R
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// single-pass f32 stats (digest acceleration): min/max/sum/sum_sq
+// ---------------------------------------------------------------------------
+
+void bn_f32_stats(const float* v, int64_t n, double* out4) {
+  double mn = n ? v[0] : 0.0, mx = n ? v[0] : 0.0, sum = 0.0, sq = 0.0;
+  for (int64_t i = 0; i < n; i++) {
+    double d = v[i];
+    if (d < mn) mn = d;
+    if (d > mx) mx = d;
+    sum += d;
+    sq += d * d;
+  }
+  out4[0] = mn; out4[1] = mx; out4[2] = sum; out4[3] = sq;
+}
+
+// ---------------------------------------------------------------------------
+// threaded prefetching batch loader:
+//   files -> decode -> resize -> RGBA batches, N worker threads, ring queue.
+// ---------------------------------------------------------------------------
+
+struct bn_loader {
+  std::vector<std::string> paths;
+  int64_t batch, oy, ox;
+  int n_threads;
+  bool loop;
+  std::atomic<int64_t> next_idx{0};
+  std::queue<std::pair<int64_t, std::vector<uint8_t>>> ready;  // batch_idx, data
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  int64_t max_queue = 4;
+  int64_t n_batches = 0;
+  std::atomic<int64_t> produced{0};
+  std::vector<std::thread> threads;
+  std::atomic<bool> stop{false};
+  std::string error;
+
+  void worker() {
+    for (;;) {
+      int64_t bi = next_idx.fetch_add(1);
+      if (stop || (!loop && bi >= n_batches)) return;
+      int64_t eb = loop ? bi % n_batches : bi;
+      std::vector<uint8_t> out(batch * oy * ox * 4);
+      for (int64_t k = 0; k < batch; k++) {
+        int64_t fi = (eb * batch + k) % int64_t(paths.size());
+        if (!load_one(paths[fi], out.data() + k * oy * ox * 4)) {
+          std::lock_guard<std::mutex> lk(mu);
+          if (error.empty()) error = "failed to load " + paths[fi];
+          stop = true;
+          cv_ready.notify_all();
+          return;
+        }
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_space.wait(lk, [&] { return int64_t(ready.size()) < max_queue || stop; });
+      if (stop) return;
+      ready.emplace(bi, std::move(out));
+      cv_ready.notify_all();
+    }
+  }
+
+  bool load_one(const std::string& fn, uint8_t* dst) {
+    FILE* f = fopen(fn.c_str(), "rb");
+    if (!f) return false;
+    fseek(f, 0, SEEK_END);
+    long len = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(len);
+    if (fread(buf.data(), 1, len, f) != size_t(len)) { fclose(f); return false; }
+    fclose(f);
+    int64_t sy = 0, sx = 0;
+    char err[256];
+    if (bn_jpeg_decode(buf.data(), len, nullptr, &sy, &sx, err, sizeof(err)))
+      return false;
+    std::vector<uint8_t> full(sy * sx * 4);
+    if (bn_jpeg_decode(buf.data(), len, full.data(), &sy, &sx, err, sizeof(err)))
+      return false;
+    bn_resize_bilinear_rgba(full.data(), sy, sx, dst, oy, ox);
+    return true;
+  }
+};
+
+bn_loader* bn_loader_create(const char** paths, int64_t n_paths, int64_t batch,
+                            int64_t oy, int64_t ox, int n_threads, int loop) {
+  bn_loader* L = new bn_loader();
+  for (int64_t i = 0; i < n_paths; i++) L->paths.push_back(paths[i]);
+  L->batch = batch; L->oy = oy; L->ox = ox;
+  L->n_threads = n_threads; L->loop = loop;
+  L->n_batches = (n_paths + batch - 1) / batch;
+  for (int i = 0; i < n_threads; i++)
+    L->threads.emplace_back(&bn_loader::worker, L);
+  return L;
+}
+
+// blocks until the next batch is ready; returns its batch index, or -1 when
+// exhausted / -2 on error. out must hold batch*oy*ox*4 bytes.
+int64_t bn_loader_next(bn_loader* L, uint8_t* out) {
+  std::unique_lock<std::mutex> lk(L->mu);
+  for (;;) {
+    if (!L->error.empty()) return -2;
+    if (!L->ready.empty()) break;
+    if (!L->loop && L->produced >= L->n_batches) return -1;
+    L->cv_ready.wait_for(lk, std::chrono::milliseconds(100));
+  }
+  auto& front = L->ready.front();
+  int64_t bi = front.first;
+  memcpy(out, front.second.data(), front.second.size());
+  L->ready.pop();
+  L->produced++;
+  L->cv_space.notify_all();
+  return bi;
+}
+
+void bn_loader_error(bn_loader* L, char* err, int64_t err_len) {
+  std::lock_guard<std::mutex> lk(L->mu);
+  snprintf(err, err_len, "%s", L->error.c_str());
+}
+
+void bn_loader_destroy(bn_loader* L) {
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stop = true;
+  }
+  L->cv_space.notify_all();
+  L->cv_ready.notify_all();
+  for (auto& t : L->threads) t.join();
+  delete L;
+}
+
+}  // extern "C"
