@@ -41,7 +41,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         run_mode_lexp(lexp_from_argv(argv))
         return 0
-    except (ConfigError, LexpError) as e:
+    except (ConfigError, LexpError, ValueError, RuntimeError) as e:
+        # top-level exception wrapper (ref boda.cc:115 boda_main_wrap)
         sys.stderr.write(f"error: {e}\n")
         return 1
     except SystemExit as e:

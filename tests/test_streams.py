@@ -1,0 +1,216 @@
+"""Data-stream subsystem + velodyne + zmq service tests."""
+
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+import boda_tpu.modes_all  # noqa: F401
+from boda_tpu.cli import main
+from boda_tpu.config import instantiate, make
+from boda_tpu.stream.data_stream import (DataBlock, read_block_stream,
+                                         write_block_stream)
+from boda_tpu.stream.velodyne import (PACKET_BYTES, VeloError, decode_packet,
+                                      encode_packet, packet_to_points_vlp16)
+from boda_tpu.utils.dims import NDA, Dims
+from boda_tpu.utils.lexp import parse_lexp
+
+
+def _mk(s: str):
+    obj = instantiate("data_stream", parse_lexp(s))
+    obj.start()
+    return obj
+
+
+def _drain(src):
+    out = []
+    while True:
+        b = src.read()
+        if b is None:
+            return out
+        out.append(b)
+
+
+def test_gen_src_and_sss():
+    src = _mk("(stream=start-stop-skip,src=(stream=gen-src,n=10),start_ix=2,"
+              "stop_ix=9,skip=1)")
+    blocks = _drain(src)
+    assert [b.frame_ix for b in blocks] == [2, 4, 6, 8]
+
+
+def test_block_stream_roundtrip(tmp_path):
+    fn = str(tmp_path / "x.blk")
+    blocks = [
+        DataBlock(ts=100, tag="a", data=b"hello"),
+        DataBlock(ts=200, tag="b", nda=NDA(Dims.of(y=2, x=3),
+                                           np.arange(6, dtype=np.float32))),
+    ]
+    write_block_stream(fn, blocks)
+    back = list(read_block_stream(fn))
+    assert back[0].ts == 100 and back[0].data == b"hello"
+    assert back[1].tag == "b"
+    assert np.array_equal(back[1].nda.data, blocks[1].nda.data)
+    # via the stream types
+    src = _mk(f"(stream=block-file-src,fn={fn})")
+    assert len(_drain(src)) == 2
+
+
+def test_csv_roundtrip(tmp_path):
+    csv_in = tmp_path / "in.csv"
+    csv_in.write_text("0,1.5,2.5\n10,3,4\n# comment\n20,5,6\n")
+    src = _mk(f"(stream=csv-src,fn={csv_in})")
+    sink = make("data_stream", "csv-sink", fn=str(tmp_path / "out.csv"))
+    sink.start()
+    n = 0
+    while True:
+        b = src.read()
+        if b is None:
+            break
+        sink.proc(b)
+        n += 1
+    sink.finish()
+    assert n == 3
+    out = (tmp_path / "out.csv").read_text().strip().splitlines()
+    assert out[0] == "0,0,1.5,2.5"
+
+
+def test_ts_merge():
+    src = _mk("(stream=ts-merge,primary=(stream=gen-src,n=3,ts_step=100),"
+              "secondary=(aux=(stream=gen-src,n=30,ts_step=10)),max_dt=5)")
+    blocks = _drain(src)
+    assert len(blocks) == 3
+    for b in blocks:
+        assert "aux" in b.subs
+        assert b.subs["aux"].ts == b.ts  # exact multiples align
+
+
+def test_crop_and_stamp():
+    src = _mk("(stream=stamp,src=(stream=gen-src,n=2),ts0=1000,step=5)")
+    blocks = _drain(src)
+    assert [b.ts for b in blocks] == [1000, 1005]
+
+
+def test_gated_formats():
+    from boda_tpu.config import ConfigError
+    src = instantiate("data_stream", parse_lexp("(stream=pcap-src)"))
+    with pytest.raises(ConfigError, match="not available in this build"):
+        src.start()
+
+
+def test_scan_mode(tmp_path, capsys):
+    rc = main(["scan_data_stream", "--src=(stream=gen-src,n=4)",
+               "--sink=(stream=null-sink)", f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    assert "4 blocks" in capsys.readouterr().out
+
+
+# -- velodyne ------------------------------------------------------------------------
+
+def _synth_packet(ts=123):
+    rng = np.random.RandomState(0)
+    az = np.linspace(0, 11 * 0.2, 12) + 45.0
+    dist = rng.uniform(1.0, 80.0, (12, 32)).astype(np.float32)
+    dist[0, 5] = 0.0  # dropouts happen
+    refl = rng.randint(0, 256, (12, 32)).astype(np.uint8)
+    return encode_packet(az, dist, refl, ts), az, dist, refl
+
+
+def test_velo_decode_roundtrip():
+    pkt, az, dist, refl = _synth_packet()
+    assert len(pkt) == PACKET_BYTES
+    az2, dist2, refl2, ts = decode_packet(pkt)
+    assert ts == 123
+    assert np.allclose(az2, np.round(az * 100) / 100, atol=0.01)
+    assert np.allclose(dist2, np.round(dist / 0.002) * 0.002, atol=0.002)
+    assert np.array_equal(refl2, refl)
+
+
+def test_velo_points_and_errors(tmp_path):
+    pkt, az, dist, refl = _synth_packet()
+    pts = packet_to_points_vlp16(pkt)
+    assert pts.shape[1] == 4
+    assert len(pts) == 12 * 32 - 1  # one dropout
+    rng_d = np.linalg.norm(pts[:, :3], axis=1)
+    assert rng_d.max() <= 80.01
+    with pytest.raises(VeloError, match="must be 1206 bytes"):
+        decode_packet(b"short")
+    with pytest.raises(VeloError, match="bad flag"):
+        decode_packet(b"\x00" * PACKET_BYTES)
+    # mode over a packet file
+    fn = tmp_path / "velo.raw"
+    fn.write_bytes(pkt * 3)
+    rc = main(["velo_scan", f"--fn={fn}", "--csv-fn=pts.csv",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    assert (tmp_path / "pts.csv").exists()
+
+
+# -- zmq service ----------------------------------------------------------------------
+
+def test_zmq_service_end_to_end(tmp_path):
+    port = 25991
+    server = subprocess.Popen(
+        [sys.executable, "-m", "boda_tpu", "zmq_det_server",
+         f"--endpoint=tcp://127.0.0.1:{port}", "--model=mini_resnet",
+         "--in-sz=32", "--max-requests=3"],
+        cwd="/root/repo", env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu"})
+    try:
+        from boda_tpu.apps.zmq_det import Client
+        c = Client(f"tcp://127.0.0.1:{port}", timeout_ms=120000)
+        res = c.predict_file("/root/repo/testdata/images/test1.png")
+        assert "top" in res and len(res["top"]) == 5
+        assert all(0 <= t["p"] <= 1 for t in res["top"])
+        # error path: garbage image
+        with pytest.raises(RuntimeError, match="server error"):
+            c.predict_bytes(b"not an image")
+        res2 = c.predict_file("/root/repo/testdata/images/test2.jpg")
+        assert "top" in res2
+        c.close()
+    finally:
+        assert server.wait(timeout=60) == 0
+
+
+# -- datum / lmdb-record path --------------------------------------------------------
+
+def test_datum_roundtrip_and_test_lmdb(tmp_path, capsys):
+    from boda_tpu.frontend.datum import (Datum, encode_datum, parse_datum,
+                                         read_rec_records, rgb_to_datum,
+                                         write_rec_records)
+    rng = np.random.RandomState(0)
+    rgb = rng.randint(0, 256, (24, 24, 3), np.uint8)
+    d = rgb_to_datum(rgb, label=7)
+    back = parse_datum(encode_datum(d))
+    assert (back.chan, back.y, back.x, back.label) == (3, 24, 24, 7)
+    assert np.array_equal(back.to_rgb(), rgb)
+
+    # build a record file of datums and run the accuracy benchmark mode
+    recs = []
+    for i in range(6):
+        rgb_i = rng.randint(0, 256, (24, 24, 3), np.uint8)
+        recs.append((f"k{i}", encode_datum(rgb_to_datum(rgb_i, label=i % 8))))
+    rec_fn = tmp_path / "recs.blk"
+    write_rec_records(str(rec_fn), recs)
+    assert len(list(read_rec_records(str(rec_fn)))) == 6
+
+    rc = main(["lmdb_parse_datums", f"--rec-fn={rec_fn}", "--write-pngs=1",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    assert "6 records" in capsys.readouterr().out
+
+    rc = main(["test_lmdb", f"--rec-fn={rec_fn}", "--model=mini_resnet",
+               "--in-sz=32", "--img=4", f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "n=6 top1=" in out
+
+
+def test_lmdb_feature_gated(tmp_path):
+    from boda_tpu.config import ConfigError
+    from boda_tpu.utils.features import is_feature_enabled
+    if is_feature_enabled("lmdb"):
+        pytest.skip("lmdb installed; gating not applicable")
+    rc = main(["test_lmdb", "--db-fn=/tmp/nosuch", "--model=mini_resnet",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 1
