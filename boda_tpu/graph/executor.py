@@ -211,14 +211,176 @@ class XlaFwd(FwdEngine):
 class PallasFwd(FwdEngine):
     tune = Field("lexp", default="()", help="default op_tune for generated kernels")
     per_op_tune = Field((dict, "lexp"), default="()", help="per-op-name tune overrides")
+    # layout=nhwc runs the whole net channels-last (no transposes between
+    # layers; the TPU-native answer to the reference's xpose-var machinery)
+    layout = Field(str, default="nhwc", help="internal layout: nhwc | nchw")
+    # conv+ReLU fusion (ref rtc_fwd.cc:490): applied per-compile, only when
+    # the pre-ReLU node is not a requested output (per-layer tests still work)
+    fuse_relu = Field(bool, default="1", help="fuse ReLU into conv/fc stores")
 
-    def lower_one(self, pipe: ConvPipe, op, ctx: LowerCtx) -> Callable:
-        from ..ops.cnn_variants import lower_op_pallas
+    def op_tune(self, op_name: str):
         from ..ops.tune import OpTune
-        base = OpTune.from_lexp(self.tune)
-        t = self.per_op_tune.get(op.name)
-        tune = OpTune.from_lexp(t) if t is not None else base
-        fn = lower_op_pallas(pipe, op, ctx, tune, self._info_log)
-        if fn is not None:
+        t = self.per_op_tune.get(op_name)
+        return OpTune.from_lexp(t) if t is not None else OpTune.from_lexp(self.tune)
+
+    def init(self, pipe: ConvPipe) -> None:
+        self.pipe = pipe
+        self._weight_preps: dict[str, Callable] = {}
+        self._lowered = {}
+        self._lowered_fused = {}
+        ctx = self.lower_ctx()
+        # fusable (producer op -> its ReLU consumer): single-consumer pre-relu
+        self._fusable: dict[str, str] = {}
+        if self.fuse_relu:
+            for op_name in pipe.topo_op_order():
+                op = pipe.ops[op_name]
+                if op.type not in ("Convolution", "InnerProduct"):
+                    continue
+                consumers = pipe.nodes[op.tops[0]].bot_for
+                if len(consumers) == 1 and \
+                        pipe.ops[consumers[0]].type == "ReLU":
+                    self._fusable[op_name] = consumers[0]
+        for op_name in pipe.topo_op_order():
+            op = pipe.ops[op_name]
+            self._lowered[op_name] = self._lower(pipe, op, ctx, fused=False)
+            if op_name in self._fusable:
+                self._lowered_fused[op_name] = self._lower(pipe, op, ctx,
+                                                           fused=True)
+        self._upload_weights()
+
+    def _lower(self, pipe: ConvPipe, op, ctx: LowerCtx, fused: bool) -> Callable:
+        from copy import copy as _copy
+        if fused:
+            op = _copy(op)
+            op.params = dict(op.params, fused_relu=True)
+        if self.layout == "nhwc":
+            return self._lower_nhwc(pipe, op, ctx)
+        from ..ops.cnn_variants import lower_op_pallas
+        fn = lower_op_pallas(pipe, op, ctx, self.op_tune(op.name), self._info_log)
+        return fn if fn is not None else lower_op(pipe, op, ctx)
+
+    def _lower_nhwc(self, pipe: ConvPipe, op, ctx: LowerCtx) -> Callable:
+        from .autodiff import _wants_grad
+        from .lowering_nhwc import lower_op_nhwc
+        if op.type == "Bck":
+            # backward = vjp of the (NHWC) forward lowering. Pallas kernels
+            # have no reverse-AD rule, so the vjp differentiates the stock-XLA
+            # NHWC lowering of the same op (identical math; custom-VJP Pallas
+            # backward kernels are a future optimization).
+            import dataclasses
+
+            import jax
+            import jax.numpy as jnp
+            fwd = pipe.ops[op.p("fwd_op")]
+            from .lowering_nhwc import lower_op_nhwc
+            xla_tune = dataclasses.replace(self.op_tune(fwd.name), use_xla=True)
+            r = lower_op_nhwc(pipe, fwd, ctx, xla_tune, self._info_log)
+            if r is None:
+                raise PipeError(f"no NHWC lowering for {fwd.type!r}")
+            fwd_fn, _ = r
+            n_fwd_bots = len(fwd.bots)
+            grad_pos = [i for i, b in enumerate(fwd.bots)
+                        if _wants_grad(pipe, op, b)]
+            top_has_grad = set(op.p("top_has_grad") or [])
+            loss_node = op.p("loss_node")
+            is_loss = fwd.type == "SoftmaxWithLoss"
+
+            def fn(*args):
+                fwd_ins = list(args[:n_fwd_bots])
+                gs = list(args[n_fwd_bots:])
+
+                def f(*grad_ins):
+                    full = list(fwd_ins)
+                    for pos, gi in zip(grad_pos, grad_ins):
+                        full[pos] = gi
+                    return fwd_fn(*full)
+
+                primals = [fwd_ins[p] for p in grad_pos]
+                outs, vjp = jax.vjp(f, *primals)
+                cts = []
+                gi = 0
+                for t, out in zip(fwd.tops, outs):
+                    if is_loss and t == loss_node:
+                        cts.append(jnp.ones_like(out))
+                    elif t in top_has_grad:
+                        cts.append(gs[gi].astype(out.dtype))
+                        gi += 1
+                    else:
+                        cts.append(jnp.zeros_like(out))
+                grads = vjp(tuple(cts))
+                return tuple(g.astype(p.dtype) for g, p in zip(grads, primals))
             return fn
-        return lower_op(pipe, op, ctx)
+        r = lower_op_nhwc(pipe, op, ctx, self.op_tune(op.name), self._info_log)
+        if r is None:
+            raise PipeError(f"no NHWC lowering for op type {op.type!r} "
+                            f"(op {op.name!r})")
+        fn, preps = r
+        self._weight_preps.update(preps)
+        return fn
+
+    def _upload_weights(self) -> None:
+        import jax
+        dev = self.device()
+        self._weights_dev = {}
+        for k, w in self.pipe.weights.items():
+            data = w.data
+            prep = self._weight_preps.get(k)
+            if prep is not None:
+                data = prep[0](data)
+            self._weights_dev[k] = jax.device_put(data, dev)
+
+    def _is_4d(self, node: str) -> bool:
+        d = self.pipe.nodes[node].dims
+        return d is not None and "y" in d.names and "chan" in d.names \
+            and "img" in d.names
+
+    def build_raw_fn(self, out_names: list[str]) -> Callable:
+        if self.layout != "nhwc":
+            return super().build_raw_fn(out_names)
+        import jax.numpy as jnp
+        pipe = self.pipe
+        topo = pipe.topo_op_order()
+        out_set = set(out_names)
+        # per-compile fusion decision: fuse only when pre-relu not requested
+        fused_now = {c: r for c, r in self._fusable.items()
+                     if pipe.ops[c].tops[0] not in out_set}
+        skip_relu = {r: c for c, r in fused_now.items()}
+        lowered = {}
+        for op_name in topo:
+            if op_name in fused_now:
+                lowered[op_name] = self._lowered_fused[op_name]
+            else:
+                lowered[op_name] = self._lowered[op_name]
+        is4d = {n: self._is_4d(n) for n in pipe.nodes}
+
+        def net_fn(weights: dict, inputs: dict):
+            vals = dict(weights)
+            for k, v in inputs.items():
+                vals[k] = v.transpose(0, 2, 3, 1) if is4d.get(k) else v
+            for op_name in topo:
+                op = pipe.ops[op_name]
+                if op_name in skip_relu:
+                    # relu was fused into its producer; alias the value
+                    vals[op.tops[0]] = vals[op.bots[0]]
+                    continue
+                try:
+                    bot_vals = [vals[b] for b in op.bots]
+                except KeyError as e:
+                    raise PipeError(f"op {op_name!r}: missing input {e}") from None
+                outs = lowered[op_name](*bot_vals)
+                vals.update(zip(op.tops, outs))
+            res = {}
+            for n in out_names:
+                v = vals[n]
+                if is4d.get(n) and v.ndim == 4:
+                    v = v.transpose(0, 3, 1, 2)
+                else:
+                    # weight gradients come out in prepped layout; invert
+                    for wname, (prep, inv) in self._weight_preps.items():
+                        if n.startswith(wname + "__grad"):
+                            v = inv(v)
+                            break
+                res[n] = v
+            return res
+
+        return net_fn

@@ -1,0 +1,369 @@
+"""NHWC-native lowering: the TPU-optimal layout path for the Pallas engine.
+
+The reference handles layout by materializing transpose vars and propagating
+"write-xposed" output formats between its k1conv kernels (ref rtc_fwd.cc
+:495-503, xpose*.cucl). The TPU-native equivalent: run the WHOLE net in NHWC
+(channels on the 128-lane axis) — activations are transposed once at the net
+input, conv weights are pre-transposed at upload time, and every op lowers to
+an NHWC rule, so no transposes exist between layers at all.
+
+Activations here are physically (img, y, x, chan) while node Dims remain
+logically named NCHW; the executor transposes requested outputs back so all
+digests/comparisons are layout-independent.
+
+Each rule returns (fn, weight_preps) where weight_preps maps weight-node name
+-> (prep, inv): a one-time transform applied at weight upload, and its
+inverse (used to convert weight-GRADIENT values back to the logical layout).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.dims import stable_hash
+from .lowering import PRECISIONS, LowerCtx, _softmax
+from .pipe import ConvOp, ConvPipe, PipeError
+
+_NHWC_RULES: dict[str, Callable] = {}
+
+
+def nhwc_rule(op_type: str):
+    def deco(fn):
+        _NHWC_RULES[op_type] = fn
+        return fn
+    return deco
+
+
+def has_nhwc_rule(op_type: str) -> bool:
+    return op_type in _NHWC_RULES
+
+
+def lower_op_nhwc(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx, tune,
+                  info_log: list[str]):
+    """Returns (fn, weight_preps) or None if no NHWC rule exists."""
+    rule = _NHWC_RULES.get(op.type)
+    if rule is None:
+        return None
+    return rule(pipe, op, ctx, tune, info_log)
+
+
+def _no_preps(fn):
+    return fn, {}
+
+
+# -- conv ------------------------------------------------------------------------
+
+@nhwc_rule("Convolution")
+def _nhwc_conv(pipe, op, ctx, tune, info_log):
+    from ..ops.cnn_variants import ctx_interp
+    from ..ops.kernels.conv import conv_blocks, pallas_conv2d_nhwc
+    from ..ops.kernels.sgemm import pallas_matmul, pick_matmul_blocks
+    s, p = op.stride(), op.pad()
+    k = op.kern_sz()
+    groups = int(op.p("groups", 1))
+    relu = bool(op.p("fused_relu", False))
+    ind = pipe.must_dims(op.bots[0])
+    fd = pipe.must_dims(op.bots[1])
+    od = pipe.must_dims(op.tops[0])
+    preps = {op.bots[1]: (lambda w: w.transpose(2, 3, 1, 0),      # OIHW->HWIO
+                          lambda g: g.transpose(3, 2, 0, 1))}    # HWIO->OIHW
+
+    if groups == 1 and not tune.use_xla and k == (1, 1) and p == (0, 0) \
+            and tune.use_k1conv:
+        M = od["img"] * od["y"] * od["x"]
+        K, N = fd["in_chan"], fd["out_chan"]
+        bm, bn, bk = pick_matmul_blocks(M, K, N, tune, ind.tn)
+        info_log.append(f"{op.name}: nhwc-k1conv bm={bm} bn={bn} bk={bk}")
+
+        def fn(x, w, b):  # x NHWC, w HWIO
+            if s != (1, 1):
+                x = x[:, ::s[0], ::s[1], :]
+            n, y, xx, c = x.shape
+            out = pallas_matmul(x.reshape(n * y * xx, c), w.reshape(c, -1), b,
+                                bm=bm, bn=bn, bk=bk, out_dtype=x.dtype,
+                                precision=tune.precision, relu=relu,
+                                interpret=ctx_interp())
+            return (out.reshape(n, y, xx, -1),)
+        return fn, preps
+
+    blocks = None
+    if groups == 1 and not tune.use_xla and s == (1, 1):
+        blocks = conv_blocks(ind, fd, od, tune)
+    if blocks is not None:
+        info_log.append(f"{op.name}: nhwc-pallas_conv {blocks}")
+
+        def fn(x, w, b):
+            return (pallas_conv2d_nhwc(x, w, b, stride=s, pad=p, relu=relu,
+                                       blocks=blocks, precision=tune.precision,
+                                       interpret=ctx_interp()),)
+        return fn, preps
+
+    info_log.append(f"{op.name}: nhwc-xla_conv")
+    prec = PRECISIONS[tune.precision]
+
+    def fn(x, w, b):
+        out = lax.conv_general_dilated(
+            x, w, window_strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups, precision=prec,
+            preferred_element_type=jnp.float32)
+        out = out + b.reshape(1, 1, 1, -1)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        return (out.astype(x.dtype),)
+    return fn, preps
+
+
+@nhwc_rule("Deconvolution")
+def _nhwc_deconv(pipe, op, ctx, tune, info_log):
+    s, p = op.stride(), op.pad()
+    preps = {op.bots[1]: (lambda w: w.transpose(2, 3, 1, 0),
+                          lambda g: g.transpose(3, 2, 0, 1))}
+
+    def fn(x, w, b):
+        out = lax.conv_transpose(
+            x, w, strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+            precision=PRECISIONS[tune.precision])
+        return ((out + b.reshape(1, 1, 1, -1)).astype(x.dtype),)
+    return fn, preps
+
+
+@nhwc_rule("InnerProduct")
+def _nhwc_ip(pipe, op, ctx, tune, info_log):
+    from ..ops.cnn_variants import ctx_interp
+    from ..ops.kernels.sgemm import pallas_matmul, pick_matmul_blocks
+    ind = pipe.must_dims(op.bots[0])
+    fd = pipe.must_dims(op.bots[1])
+    relu = bool(op.p("fused_relu", False))
+    preps = {}
+    if "y" in ind.names and (ind["y"] > 1 or ind["x"] > 1):
+        # fc weights are ordered for NCHW flatten; permute once for NHWC
+        c, y, x = ind["chan"], ind["y"], ind["x"]
+
+        def prep(w):
+            return w.reshape(w.shape[0], c, y, x).transpose(0, 2, 3, 1) \
+                .reshape(w.shape[0], -1)
+
+        def inv(g):
+            return g.reshape(g.shape[0], y, x, c).transpose(0, 3, 1, 2) \
+                .reshape(g.shape[0], -1)
+        preps[op.bots[1]] = (prep, inv)
+    M, K, N = ind["img"], fd["in_feats"], fd["out_chan"]
+    bm, bn, bk = pick_matmul_blocks(M, K, N, tune, ind.tn)
+    info_log.append(f"{op.name}: nhwc-ip bm={bm} bn={bn} bk={bk}")
+    prec = PRECISIONS[tune.precision]
+    use_xla = tune.use_xla
+
+    def fn(x, w, b):
+        xf = x.reshape(x.shape[0], -1)
+        if use_xla:
+            out = jnp.dot(xf, w.T, precision=prec,
+                          preferred_element_type=jnp.float32) + b
+            if relu:
+                out = jnp.maximum(out, 0.0)
+            return (out.astype(x.dtype),)
+        out = pallas_matmul(xf, w.T, b, bm=bm, bn=bn, bk=bk, out_dtype=x.dtype,
+                            precision=tune.precision, relu=relu,
+                            interpret=ctx_interp())
+        return (out,)
+    return fn, preps
+
+
+# -- spatial ops --------------------------------------------------------------------
+
+@nhwc_rule("Pooling")
+def _nhwc_pool(pipe, op, ctx, tune, info_log):
+    k, s, p = op.kern_sz(), op.stride(), op.pad()
+    avg = op.p("avg_pool", False)
+    ind = pipe.must_dims(op.bots[0])
+    od = pipe.must_dims(op.tops[0])
+    iy, ix = ind["y"], ind["x"]
+    oy, ox = od["y"], od["x"]
+    pad_y = (p[0], max(0, (oy - 1) * s[0] + k[0] - iy - p[0]))
+    pad_x = (p[1], max(0, (ox - 1) * s[1] + k[1] - ix - p[1]))
+    if avg:
+        import numpy as np
+
+        def divisor(o, in_sz, kk, ss, pp):
+            st = o * ss - pp
+            en = min(st + kk, in_sz + pp)
+            return en - max(st, 0)
+        dy = np.array([divisor(o, iy, k[0], s[0], p[0]) for o in range(oy)],
+                      np.float32)
+        dx = np.array([divisor(o, ix, k[1], s[1], p[1]) for o in range(ox)],
+                      np.float32)
+        div = jnp.asarray((dy[:, None] * dx[None, :]).reshape(1, oy, ox, 1))
+
+        def fn(x):
+            sums = lax.reduce_window(
+                x.astype(jnp.float32), 0.0, lax.add,
+                window_dimensions=(1, k[0], k[1], 1),
+                window_strides=(1, s[0], s[1], 1),
+                padding=((0, 0), pad_y, pad_x, (0, 0)))
+            return ((sums / div).astype(x.dtype),)
+        return _no_preps(fn)
+
+    def fn(x):
+        out = lax.reduce_window(
+            x.astype(jnp.float32), -jnp.inf, lax.max,
+            window_dimensions=(1, k[0], k[1], 1),
+            window_strides=(1, s[0], s[1], 1),
+            padding=((0, 0), pad_y, pad_x, (0, 0)))
+        return (out.astype(x.dtype),)
+    return _no_preps(fn)
+
+
+@nhwc_rule("LRN")
+def _nhwc_lrn(pipe, op, ctx, tune, info_log):
+    size = int(op.p("local_size", 5))
+    alpha = float(op.p("alpha", 1e-4))
+    beta = float(op.p("beta", 0.75))
+    kk = float(op.p("k", 1.0))
+    half = (size - 1) // 2
+
+    def fn(x):
+        x32 = x.astype(jnp.float32)
+        ssum = lax.reduce_window(
+            x32 * x32, 0.0, lax.add,
+            window_dimensions=(1, 1, 1, size), window_strides=(1, 1, 1, 1),
+            padding=((0, 0), (0, 0), (0, 0), (half, size - 1 - half)))
+        return ((x32 * jnp.power(kk + (alpha / size) * ssum, -beta))
+                .astype(x.dtype),)
+    return _no_preps(fn)
+
+
+@nhwc_rule("BatchNorm")
+def _nhwc_bn(pipe, op, ctx, tune, info_log):
+    eps = float(op.p("eps", 1e-5))
+
+    def fn(x, mean, var, scale_factor=None):
+        sf = 1.0
+        if scale_factor is not None:
+            sf = jnp.where(scale_factor[0] != 0, 1.0 / scale_factor[0], 1.0)
+        m = (mean * sf).reshape(1, 1, 1, -1)
+        v = (var * sf).reshape(1, 1, 1, -1)
+        return (((x - m) * lax.rsqrt(v + eps)).astype(x.dtype),)
+    return _no_preps(fn)
+
+
+@nhwc_rule("Scale")
+def _nhwc_scale(pipe, op, ctx, tune, info_log):
+    def fn(x, gamma, beta=None):
+        out = x * gamma.reshape(1, 1, 1, -1)
+        if beta is not None:
+            out = out + beta.reshape(1, 1, 1, -1)
+        return (out.astype(x.dtype),)
+    return _no_preps(fn)
+
+
+# -- pointwise / structural ------------------------------------------------------------
+
+@nhwc_rule("ReLU")
+def _nhwc_relu(pipe, op, ctx, tune, info_log):
+    return _no_preps(lambda x: (jnp.maximum(x, 0.0).astype(x.dtype),))
+
+
+@nhwc_rule("Sigmoid")
+def _nhwc_sigmoid(pipe, op, ctx, tune, info_log):
+    return _no_preps(lambda x: (jax.nn.sigmoid(x),))
+
+
+@nhwc_rule("TanH")
+def _nhwc_tanh(pipe, op, ctx, tune, info_log):
+    return _no_preps(lambda x: (jnp.tanh(x),))
+
+
+@nhwc_rule("Dropout")
+def _nhwc_dropout(pipe, op, ctx, tune, info_log):
+    ratio = float(op.p("dropout_ratio", 0.5))
+    if not ctx.train:
+        return _no_preps(lambda x: (x,))
+    seed = ctx.det_drop_seed + (stable_hash(op.name) & 0xFFFF)
+
+    def fn(x):
+        key = jax.random.PRNGKey(seed)
+        mask = jax.random.bernoulli(key, 1.0 - ratio, x.shape)
+        return ((x * mask / (1.0 - ratio)).astype(x.dtype),)
+    return _no_preps(fn)
+
+
+@nhwc_rule("Split")
+def _nhwc_split(pipe, op, ctx, tune, info_log):
+    n = len(op.tops)
+    return _no_preps(lambda x: (x,) * n)
+
+
+@nhwc_rule("Concat")
+def _nhwc_concat(pipe, op, ctx, tune, info_log):
+    axis_name = op.p("axis_name", "chan")
+    axis = {"img": 0, "y": 1, "x": 2, "chan": 3}[axis_name]
+
+    def fn(*xs):
+        return (jnp.concatenate(xs, axis=axis),)
+    return _no_preps(fn)
+
+
+@nhwc_rule("Eltwise")
+def _nhwc_eltwise(pipe, op, ctx, tune, info_log):
+    import functools
+    kind = op.p("eltwise_op", "sum")
+    coeffs = op.p("coeffs", None)
+
+    def fn(*xs):
+        if kind == "sum":
+            out = sum((c * x for c, x in zip(coeffs, xs)), start=0.0) \
+                if coeffs else sum(xs[1:], start=xs[0])
+        elif kind == "prod":
+            out = functools.reduce(jnp.multiply, xs)
+        elif kind == "max":
+            out = functools.reduce(jnp.maximum, xs)
+        else:
+            raise PipeError(f"eltwise: unknown op {kind!r}")
+        return (out,)
+    return _no_preps(fn)
+
+
+@nhwc_rule("Softmax")
+def _nhwc_softmax(pipe, op, ctx, tune, info_log):
+    ind = pipe.must_dims(op.bots[0])
+    axis = 3 if "y" in ind.names else 1
+    return _no_preps(lambda x: (_softmax(x, axis=axis).astype(x.dtype),))
+
+
+@nhwc_rule("SoftmaxWithLoss")
+def _nhwc_sml(pipe, op, ctx, tune, info_log):
+    ind = pipe.must_dims(op.bots[0])
+    axis = 3 if "y" in ind.names else 1
+
+    def fn(x, labels):
+        prob = _softmax(x, axis=axis)
+        n_cls = x.shape[axis]
+        lab = jnp.clip(labels.reshape(labels.shape[0]).astype(jnp.int32),
+                       0, n_cls - 1)
+        if prob.ndim == 4:
+            p = prob[jnp.arange(prob.shape[0]), 0, 0, lab]
+        else:
+            p = prob[jnp.arange(prob.shape[0]), lab]
+        loss = -jnp.log(jnp.maximum(p, 1e-38))
+        return (loss.astype(x.dtype), prob.astype(x.dtype))
+    return fn, {}
+
+
+@nhwc_rule("Data")
+def _nhwc_data(pipe, op, ctx, tune, info_log):
+    return _no_preps(lambda x: (x,))
+
+
+@nhwc_rule("GradAccum")
+def _nhwc_gradaccum(pipe, op, ctx, tune, info_log):
+    def fn(*parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return (out,)
+    return _no_preps(fn)
