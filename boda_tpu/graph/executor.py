@@ -42,6 +42,10 @@ class FwdEngine:
     """Abstract engine: init(pipe) then run_fwd(ins, out_names)."""
 
     precision = Field(str, default="highest", help="MXU precision: default/high/highest")
+    # compute dtype override: 'bfloat16' casts weights at upload and inputs at
+    # entry, computes the whole net in bf16 (native MXU rate), and returns
+    # outputs in each node's logical dtype. '' = keep input dtypes (f32).
+    compute_tn = Field(str, default="", help="compute dtype: '' | bfloat16 | float32")
     platform = Field(str, default="", help="jax platform override ('' = default)")
     train = Field(bool, default="0", help="training mode (dropout active)")
     det_drop_seed = Field(int, default="0", help="deterministic dropout seed")
@@ -52,6 +56,10 @@ class FwdEngine:
     # node name -> (max_val=...,keep_bits=...) clamps + drops mantissa bits
     quantize = Field((dict, "lexp"), default="()",
                      help="per-node quantization: (node=(max_val=8,keep_bits=6),...)")
+    # multi-chip mesh, e.g. (dp=2,tp=4): dp shards the img dim of inputs;
+    # tp shards conv/fc weights over out_chan (XLA engine: GSPMD inserts the
+    # collectives; Pallas engine: dp only, via shard_map around the net fn)
+    mesh = Field("lexp", default="()", help="device mesh axes, e.g. (dp=2,tp=4)")
 
     def base_setup(self) -> None:
         self.pipe: Optional[ConvPipe] = None
@@ -59,6 +67,30 @@ class FwdEngine:
         self._out_names: list[str] = []
         self._info_log: list[str] = []
         self._weights_dev: dict = {}
+        self._mesh = None
+        axes = {k: int(v.leaf_val) for k, v in (self.mesh.kids if self.mesh else [])}
+        if axes:
+            from ..parallel.mesh import make_mesh
+            self._mesh = make_mesh(axes)
+
+    # -- mesh helpers -------------------------------------------------------------
+    def _weight_sharding(self, name: str):
+        from jax.sharding import NamedSharding, PartitionSpec
+        w = self.pipe.weights[name]
+        spec = [None] * len(w.dims)
+        if "tp" in self._mesh.axis_names and self._mesh.shape["tp"] > 1 and \
+                "out_chan" in w.dims.names and len(w.dims) > 1 and \
+                w.dims["out_chan"] % self._mesh.shape["tp"] == 0:
+            spec[w.dims.index("out_chan")] = "tp"
+        return NamedSharding(self._mesh, PartitionSpec(*spec))
+
+    def _input_sharding(self, dims: Dims):
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = [None] * len(dims)
+        if "dp" in self._mesh.axis_names and "img" in dims.names and \
+                dims["img"] % self._mesh.shape["dp"] == 0:
+            spec[dims.index("img")] = "dp"
+        return NamedSharding(self._mesh, PartitionSpec(*spec))
 
     # -- interface (ref has_conv_fwd.H:16-24) -----------------------------------
     def init(self, pipe: ConvPipe) -> None:
@@ -83,10 +115,20 @@ class FwdEngine:
             return jax.devices(self.platform)[0]
         return jax.devices()[0]
 
+    def _cast_w(self, data):
+        if self.compute_tn:
+            data = data.astype(np_dtype(self.compute_tn))
+        return data
+
     def _upload_weights(self) -> None:
         import jax
+        if self._mesh is not None:
+            self._weights_dev = {
+                k: jax.device_put(self._cast_w(w.data), self._weight_sharding(k))
+                for k, w in self.pipe.weights.items()}
+            return
         dev = self.device()
-        self._weights_dev = {k: jax.device_put(w.data, dev)
+        self._weights_dev = {k: jax.device_put(self._cast_w(w.data), dev)
                              for k, w in self.pipe.weights.items()}
 
     def set_det_drop_seed(self, seed: int) -> None:
@@ -117,8 +159,12 @@ class FwdEngine:
             q = jnp.clip(x, 0.0, max_val)
             return jnp.floor(q * (levels / max_val)) * (max_val / levels)
 
+        cdt = _jnp_dt(self.compute_tn) if self.compute_tn else None
+
         def net_fn(weights: dict, inputs: dict):
-            vals = dict(inputs)
+            vals = {k: (v.astype(cdt) if cdt is not None and
+                        jnp.issubdtype(v.dtype, jnp.floating) else v)
+                    for k, v in inputs.items()}
             vals.update(weights)
             stat_out = {}
             for op_name in topo:
@@ -137,7 +183,12 @@ class FwdEngine:
                         stat_out[t] = jnp.stack(
                             [jnp.min(v32), jnp.max(v32), jnp.sum(v32),
                              jnp.sum(v32 * v32)])
-            res = {n: vals[n] for n in out_names}
+            res = {}
+            for n in out_names:
+                v = vals[n]
+                if cdt is not None:
+                    v = v.astype(_jnp_dt(pipe.must_dims(n).tn))
+                res[n] = v
             if stats:
                 res["__stats__"] = stat_out
             return res
@@ -146,7 +197,27 @@ class FwdEngine:
 
     def _build_fn(self, in_names: list[str], out_names: list[str]) -> Callable:
         import jax
-        return jax.jit(self.build_raw_fn(out_names))
+        raw = self.build_raw_fn(out_names)
+        if self._mesh is None:
+            return jax.jit(raw)
+        return self._build_sharded_fn(raw, in_names, out_names)
+
+    def _build_sharded_fn(self, raw, in_names, out_names) -> Callable:
+        """GSPMD path: jit with explicit in/out shardings over the mesh; XLA
+        propagates activation shardings and inserts collectives over ICI."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+        w_sh = {k: self._weight_sharding(k) for k in self.pipe.weights}
+        in_sh = {n: self._input_sharding(self.pipe.must_dims(n))
+                 for n in in_names}
+        out_sh = {n: self._input_sharding(self.pipe.must_dims(n))
+                  for n in out_names}
+        jitted = jax.jit(raw, in_shardings=(w_sh, in_sh), out_shardings=out_sh)
+
+        def fn(weights, inputs):
+            with self._mesh:
+                return jitted(weights, inputs)
+        return fn
 
     def compile_for(self, in_names: list[str], out_names: list[str]) -> None:
         key = (tuple(in_names), tuple(out_names))
@@ -161,7 +232,11 @@ class FwdEngine:
         in_names = sorted(ins)
         self.compile_for(in_names, out_names)
         with timer("fwd_h2d"):
-            dev_ins = {k: jax.device_put(v.data, dev) for k, v in ins.items()}
+            if self._mesh is not None:
+                dev_ins = {k: jax.device_put(v.data, self._input_sharding(v.dims))
+                           for k, v in ins.items()}
+            else:
+                dev_ins = {k: jax.device_put(v.data, dev) for k, v in ins.items()}
         with timer("fwd_run"):
             outs = self._fn(self._weights_dev, dev_ins)
             jax.tree_util.tree_map(
@@ -217,11 +292,73 @@ class PallasFwd(FwdEngine):
     # conv+ReLU fusion (ref rtc_fwd.cc:490): applied per-compile, only when
     # the pre-ReLU node is not a requested output (per-layer tests still work)
     fuse_relu = Field(bool, default="1", help="fuse ReLU into conv/fc stores")
+    # autotuning wisdom: best recorded tune per op signature + platform
+    # (ref: per-op tune selection from wisdom files, op-tuner.cc)
+    wisdom_fn = Field("filename", default="", help="wisdom file for per-op tunes")
+
+    def _wisdom_tune(self, op_name: str):
+        """Best recorded tune for this op's signature on this platform."""
+        if not self.wisdom_fn:
+            return None
+        if not hasattr(self, "_wisdom"):
+            from ..prof.wisdom import read_wisdom
+            self._wisdom = {w.op.key(): w for w in read_wisdom(self.wisdom_fn)}
+        from ..ops.sig_of import rtc_sig_of
+        sig = rtc_sig_of(self.pipe, self.pipe.ops[op_name]) \
+            if op_name in self.pipe.ops else None
+        if sig is None:
+            return None
+        w = self._wisdom.get(sig.key())
+        if w is None:
+            return None
+        plat = f"tpu:{getattr(self.device(), 'device_kind', '?')}".replace(" ", "_")
+        best = w.best(plat) or w.best()
+        if best is None:
+            return None
+        self._info_log.append(f"{op_name}: wisdom tune {best.tune} "
+                              f"({best.secs * 1e6:.1f}us on {best.plat})")
+        from ..utils.lexp import parse_lexp
+        return parse_lexp(best.tune)
 
     def op_tune(self, op_name: str):
+        import dataclasses
+
         from ..ops.tune import OpTune
         t = self.per_op_tune.get(op_name)
-        return OpTune.from_lexp(t) if t is not None else OpTune.from_lexp(self.tune)
+        if t is None:
+            t = self._wisdom_tune(op_name)
+        tune = OpTune.from_lexp(t) if t is not None else OpTune.from_lexp(self.tune)
+        # the engine's precision is the default for generated kernels unless
+        # the tune overrides it; bf16 compute forces bf16-native MXU passes
+        # (Mosaic rejects fp32 contract precision on bf16 operands)
+        if (t is None or t.get_kid("precision") is None) and \
+                "precision" not in str(self.tune):
+            prec = self.precision
+            if self.compute_tn == "bfloat16":
+                prec = "default"
+            tune = dataclasses.replace(tune, precision=prec)
+        return tune
+
+    def _build_sharded_fn(self, raw, in_names, out_names) -> Callable:
+        """Pallas kernels are opaque to GSPMD; shard the batch (dp) via
+        shard_map — each device runs the full Pallas net on its img slice.
+        tp>1 requires the GSPMD (xla) engine."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        if "tp" in self._mesh.axis_names and self._mesh.shape["tp"] > 1:
+            raise PipeError("pallas engine shards dp only; use mode=xla for tp")
+        from jax.experimental.shard_map import shard_map
+        w_specs = {k: P() for k in self.pipe.weights}
+        in_specs = {n: P("dp") for n in in_names}
+        out_specs = {n: P("dp") for n in out_names}
+        smapped = shard_map(raw, mesh=self._mesh, in_specs=(w_specs, in_specs),
+                            out_specs=out_specs, check_rep=False)
+        jitted = jax.jit(smapped)
+
+        def fn(weights, inputs):
+            with self._mesh:
+                return jitted(weights, inputs)
+        return fn
 
     def init(self, pipe: ConvPipe) -> None:
         self.pipe = pipe
@@ -322,8 +459,11 @@ class PallasFwd(FwdEngine):
         import jax
         dev = self.device()
         self._weights_dev = {}
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            dev = NamedSharding(self._mesh, PartitionSpec())  # replicated
         for k, w in self.pipe.weights.items():
-            data = w.data
+            data = self._cast_w(w.data)
             prep = self._weight_preps.get(k)
             if prep is not None:
                 data = prep[0](data)
@@ -353,9 +493,13 @@ class PallasFwd(FwdEngine):
                 lowered[op_name] = self._lowered[op_name]
         is4d = {n: self._is_4d(n) for n in pipe.nodes}
 
+        cdt = _jnp_dt(self.compute_tn) if self.compute_tn else None
+
         def net_fn(weights: dict, inputs: dict):
             vals = dict(weights)
             for k, v in inputs.items():
+                if cdt is not None and jnp.issubdtype(v.dtype, jnp.floating):
+                    v = v.astype(cdt)
                 vals[k] = v.transpose(0, 2, 3, 1) if is4d.get(k) else v
             for op_name in topo:
                 op = pipe.ops[op_name]
@@ -380,6 +524,8 @@ class PallasFwd(FwdEngine):
                         if n.startswith(wname + "__grad"):
                             v = inv(v)
                             break
+                if cdt is not None:
+                    v = v.astype(_jnp_dt(pipe.must_dims(n).tn))
                 res[n] = v
             return res
 

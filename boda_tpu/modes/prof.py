@@ -49,6 +49,26 @@ class OpsProf(Mode):
         print(f"wrote wisdom for {len(out)} ops to {fn}")
 
 
+@register("mode", "gen_prof_ops", help="emit a net's conv/fc op-signature corpus")
+class GenProfOps(Mode):
+    """Corpus generator (ref pysrc/to-prof-ops-gen.py + write_sigs flow,
+    rtc_fwd.cc:246): every unique matmul-shaped op signature in a net."""
+    model = Field(str, default="", help="zoo model name")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    img = Field(int, default="1", help="batch size")
+    out_fn = Field(str, default="prof-ops.txt", help="output corpus file")
+
+    def main(self) -> None:
+        from ..ops.op_base import save_op_sigs
+        from ..ops.sig_of import collect_net_sigs
+        from .cnet import load_net
+        pipe, _ = load_net(self.model, self.ptt_fn, "", self.img, 0)
+        sigs = collect_net_sigs(pipe)
+        fn = self.out_path(self.out_fn)
+        save_op_sigs(fn, sigs)
+        print(f"gen_prof_ops: {len(sigs)} unique op sigs from {pipe.name} -> {fn}")
+
+
 @register("mode", "wis_merge", help="merge wisdom files (union runs, check digests)")
 class WisMerge(Mode):
     srcs = Field((list, "filename"), req=True, help="input wisdom files")

@@ -1,0 +1,82 @@
+"""Mesh-sharded inference + bf16 compute tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import boda_tpu.modes_all  # noqa: F401
+from boda_tpu.config import make
+from boda_tpu.models.zoo import build_mini_resnet
+from boda_tpu.utils.digest import comp_vars
+from boda_tpu.utils.dims import NDA
+from boda_tpu.utils.lexp import parse_lexp
+
+
+def _setup(img=8):
+    pipe, in_dims = build_mini_resnet(img=img, num_cls=16, in_sz=16)
+    rng = np.random.RandomState(0)
+    x = NDA(in_dims["data"], rng.randn(*in_dims["data"].shape).astype(np.float32))
+    return pipe, x
+
+
+@pytest.mark.parametrize("engine,mesh", [
+    ("xla", "(dp=8)"), ("xla", "(dp=2,tp=4)"), ("pallas", "(dp=8)"),
+])
+def test_sharded_matches_local(engine, mesh):
+    pipe, x = _setup()
+    base = make("conv_fwd", "xla")
+    base.init(pipe)
+    ref = base.run_fwd({"data": x}, ["prob"])["prob"].data
+
+    eng = make("conv_fwd", engine, mesh=parse_lexp(mesh))
+    eng.init(pipe)
+    got = eng.run_fwd({"data": x}, ["prob"])["prob"].data
+    scale = max(1e-30, float(np.abs(ref).max()))
+    r = comp_vars(ref, got, mrd_toler=1e-4, atol=1e-5 * scale)
+    assert r.ok(), f"{engine} {mesh}: {r}"
+
+
+def test_pallas_tp_rejected():
+    from boda_tpu.graph.pipe import PipeError
+    pipe, x = _setup()
+    eng = make("conv_fwd", "pallas", mesh=parse_lexp("(dp=2,tp=4)"))
+    eng.init(pipe)
+    with pytest.raises(PipeError, match="dp only"):
+        eng.run_fwd({"data": x}, ["prob"])
+
+
+def test_bf16_compute():
+    pipe, x = _setup(img=2)
+    f32 = make("conv_fwd", "pallas")
+    f32.init(pipe)
+    ref = f32.run_fwd({"data": x}, ["prob"])["prob"].data
+    bf = make("conv_fwd", "pallas", compute_tn="bfloat16", precision="default")
+    bf.init(pipe)
+    got = bf.run_fwd({"data": x}, ["prob"])["prob"].data
+    assert got.dtype == np.float32  # outputs restored to logical dtype
+    assert np.abs(ref - got).max() < 0.05  # bf16-level agreement
+    assert not np.array_equal(ref, got)   # actually computed in bf16
+
+
+def test_wisdom_driven_tunes(tmp_path):
+    """PallasFwd picks per-op tunes from a wisdom file by op signature."""
+    from boda_tpu.ops.sig_of import collect_net_sigs
+    from boda_tpu.prof.wisdom import OpRun, OpWisdom, write_wisdom
+    pipe, x = _setup(img=2)
+    sigs = collect_net_sigs(pipe)
+    assert len(sigs) > 3
+    wis = []
+    for s in sigs:
+        w = OpWisdom(s)
+        w.runs.append(OpRun("(bm=64,bn=128,bk=128)", "interp:cpu", 1e-4))
+        wis.append(w)
+    fn = tmp_path / "w.wis"
+    write_wisdom(str(fn), wis)
+    eng = make("conv_fwd", "pallas", wisdom_fn=str(fn))
+    eng.init(pipe)
+    out = eng.run_fwd({"data": x}, ["prob"])["prob"].data
+    log = eng.get_info_log()
+    assert "wisdom tune (bm=64,bn=128,bk=128)" in log
+    base = make("conv_fwd", "xla")
+    base.init(pipe)
+    ref = base.run_fwd({"data": x}, ["prob"])["prob"].data
+    assert np.abs(ref - out).max() < 1e-4
