@@ -102,6 +102,26 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
                                        interpret=ctx_interp()),)
         return fn, preps
 
+    if groups == 1 and not tune.use_xla and s != (1, 1):
+        # strided conv -> space-to-depth fold + stride-1 Pallas kernel
+        from ..utils.dims import Dims
+        from ..ops.kernels.conv import space_to_depth_conv
+        folded_in = Dims.of(img=ind["img"], chan=ind["chan"] * s[0] * s[1],
+                            y=-(-ind["y"] // s[0]), x=-(-ind["x"] // s[1]),
+                            tn=ind.tn)
+        folded_f = Dims.of(out_chan=fd["out_chan"],
+                           in_chan=fd["in_chan"] * s[0] * s[1],
+                           y=-(-fd["y"] // s[0]), x=-(-fd["x"] // s[1]))
+        if conv_blocks(folded_in, folded_f, od, tune) is not None:
+            info_log.append(f"{op.name}: nhwc-s2d_conv s={s}")
+
+            def fn(x, w, b):
+                out = space_to_depth_conv(x, w, b, stride=s, pad=p, relu=relu,
+                                          tune=tune, precision=tune.precision,
+                                          interpret=ctx_interp())
+                return (out,)
+            return fn, preps
+
     info_log.append(f"{op.name}: nhwc-xla_conv")
     prec = PRECISIONS[tune.precision]
 

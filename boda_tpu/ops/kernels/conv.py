@@ -145,6 +145,63 @@ def pallas_conv2d_nhwc(x, w, bias, *, stride=(1, 1), pad=(0, 0),
     return out[:, :oh, :, :oc]
 
 
+def space_to_depth_conv(x, w, bias, *, stride, pad, relu, tune,
+                        precision: str = "highest", interpret: bool = False):
+    """Strided conv via space-to-depth: fold the stride into the channel dim
+    so the Pallas stride-1 kernel applies (the classic TPU conv1 transform;
+    plays the role of the reference's strided tconv variant).
+
+    x (N,H,W,C), w (KH,KW,C,OC), stride (s,s) -> equivalent stride-1 conv on
+    x' (N,H/s,W/s,C*s*s) with w' (ceil(KH/s),ceil(KW/s),C*s*s,OC)."""
+    sy, sx = stride
+    n, h, wd, c = x.shape
+    kh, kw, _, oc = w.shape
+    py, px = pad
+    oh = (h + 2 * py - kh) // sy + 1
+    ow = (wd + 2 * px - kw) // sx + 1
+    khp = cdiv(kh, sy)
+    kwp = cdiv(kw, sx)
+    # pad: conv padding + bottom/right so the folded view covers all taps
+    need_h = (oh - 1 + (khp - 1)) * sy + sy
+    need_w = (ow - 1 + (kwp - 1)) * sx + sx
+    xp = jnp.pad(x, ((0, 0), (py, max(0, need_h - h - py)),
+                     (px, max(0, need_w - wd - px)), (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    hp -= hp % sy
+    wp -= wp % sx
+    xp = xp[:, :hp, :wp, :]
+    xs = xp.reshape(n, hp // sy, sy, wp // sx, sx, c) \
+           .transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // sy, wp // sx,
+                                                sy * sx * c)
+    # fold the kernel: w'[ky',kx',(py,px,c),oc] = w[ky'*s+py, kx'*s+px, c, oc]
+    wz = jnp.zeros((khp * sy, kwp * sx, c, oc), w.dtype)
+    wz = wz.at[:kh, :kw].set(w)
+    wf = wz.reshape(khp, sy, kwp, sx, c, oc).transpose(0, 2, 1, 3, 4, 5) \
+           .reshape(khp, kwp, sy * sx * c, oc)
+    from ...utils.dims import Dims
+    ind = Dims.of(img=n, chan=sy * sx * c, y=xs.shape[1], x=xs.shape[2],
+                  tn=str(x.dtype))
+    fd = Dims.of(out_chan=oc, in_chan=sy * sx * c, y=khp, x=kwp)
+    od = Dims.of(img=n, chan=oc, y=oh, x=ow)
+    blocks = conv_blocks(ind, fd, od, tune)
+    if blocks is not None:
+        out = pallas_conv2d_nhwc(xs, wf, bias, stride=(1, 1), pad=(0, 0),
+                                 relu=relu, blocks=blocks, precision=precision,
+                                 interpret=interpret)
+    else:  # folded shapes too big for VMEM blocking: stock XLA on the fold
+        from jax import lax
+        out = lax.conv_general_dilated(
+            xs, wf, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=PRECISIONS[precision],
+            preferred_element_type=jnp.float32)
+        out = out + bias.reshape(1, 1, 1, -1)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        out = out.astype(x.dtype)
+    return out[:, :oh, :ow, :]
+
+
 # -- standalone rtc-layer conv op -----------------------------------------------------
 # signature: (type=conv,stride=S,pad=P,in=(img,chan,y,x),filts=(out_chan,in_chan,y,x),
 #             biases=(out_chan),out=(img,chan,y,x))  [NCHW names; ref conv.cucl]
