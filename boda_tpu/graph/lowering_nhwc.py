@@ -102,7 +102,7 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
                                        interpret=ctx_interp()),)
         return fn, preps
 
-    if groups == 1 and not tune.use_xla and s != (1, 1):
+    if groups == 1 and not tune.use_xla and tune.use_s2d and s != (1, 1):
         # strided conv -> space-to-depth fold + stride-1 Pallas kernel
         from ..utils.dims import Dims
         from ..ops.kernels.conv import space_to_depth_conv

@@ -37,16 +37,18 @@ class OpsProf(Mode):
         if self.wisdom_in_fn:
             kg_map = {w.op.key(): w for w in read_wisdom(self.wisdom_in_fn)}
         out = []
+        cg = Codegen(self.be)  # one codegen: unique func naming across ops
         for op in ops:
             self.be.release_all_vars()
-            w = profile_op(self.be, Codegen(self.be), op, tunes,
+            w = profile_op(self.be, cg, op, tunes,
                            n_iters=self.n_iters, mrd_toler=self.mrd_toler,
                            kg_wisdom=kg_map.get(op.key()))
             out.append(w)
         fn = self.out_path(os.path.basename(self.wisdom_out_fn)) \
             if os.path.dirname(self.wisdom_out_fn) in ("", ".") else self.wisdom_out_fn
         write_wisdom(fn, out)
-        print(f"wrote wisdom for {len(out)} ops to {fn}")
+        import os as _os
+        print(f"wrote wisdom for {len(out)} ops to {_os.path.basename(fn)}")
 
 
 @register("mode", "gen_prof_ops", help="emit a net's conv/fc op-signature corpus")
@@ -66,7 +68,7 @@ class GenProfOps(Mode):
         sigs = collect_net_sigs(pipe)
         fn = self.out_path(self.out_fn)
         save_op_sigs(fn, sigs)
-        print(f"gen_prof_ops: {len(sigs)} unique op sigs from {pipe.name} -> {fn}")
+        print(f"gen_prof_ops: {len(sigs)} unique op sigs from {pipe.name} -> {self.out_fn}")
 
 
 @register("mode", "wis_merge", help="merge wisdom files (union runs, check digests)")

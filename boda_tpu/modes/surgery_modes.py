@@ -26,11 +26,10 @@ class _SurgeryMode(Mode):
         fn = self.out_path(self.out_ptt_fn)
         with open(fn, "w") as f:
             f.write(pipe_to_prototxt(pipe))
-        print(f"wrote {fn}")
+        print(f"wrote {self.out_ptt_fn}")
         if self.out_weights_fn:
-            wfn = self.out_path(self.out_weights_fn)
-            write_caffemodel(wfn, pipe)
-            print(f"wrote {wfn}")
+            write_caffemodel(self.out_path(self.out_weights_fn), pipe)
+            print(f"wrote {self.out_weights_fn}")
 
 
 @register("mode", "cnet_copy", help="read a net (+weights) and rewrite it")

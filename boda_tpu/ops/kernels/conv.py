@@ -219,6 +219,8 @@ def gen_conv(op: Op, tune: OpTune, ctx: GenCtx) -> FuncInfo:
     byts = float(ind.bytes_sz() + fd.bytes_sz() + od.bytes_sz())
     use_pallas = (not ctx.use_ref and not tune.use_xla and s == (1, 1))
     blocks = conv_blocks(ind, fd, od, tune) if use_pallas else None
+    use_s2d = (not ctx.use_ref and not tune.use_xla and tune.use_s2d
+               and s != (1, 1))
 
     if blocks is not None:
         def fn(x, w, b):
@@ -229,6 +231,16 @@ def gen_conv(op: Op, tune: OpTune, ctx: GenCtx) -> FuncInfo:
                                      interpret=ctx.interpret)
             return out.transpose(0, 3, 1, 2)
         info = f"pallas_conv {blocks}"
+    elif use_s2d:
+        def fn(x, w, b):
+            xh = x.transpose(0, 2, 3, 1)
+            wh = w.transpose(2, 3, 1, 0)
+            out = space_to_depth_conv(xh, wh, b, stride=s, pad=p,
+                                      relu=bool(relu), tune=tune,
+                                      precision=tune.precision,
+                                      interpret=ctx.interpret)
+            return out.transpose(0, 3, 1, 2)
+        info = f"s2d_conv s={s}"
     else:
         prec = PRECISIONS[tune.precision if not ctx.use_ref else "highest"]
 

@@ -25,6 +25,9 @@ class OpTune:
     # variant enables (the k1conv/tconv/ipconv analog switches)
     use_k1conv: bool = True
     use_iconv: bool = True
+    # strided conv via space-to-depth fold (correct everywhere; measured
+    # slower than XLA's strided conv on v5e, so off by default — autotune it)
+    use_s2d: bool = False
     # precision / layout
     acc_tn: str = "float32"   # accumulation dtype (always f32 on MXU)
     in_tn: str = ""           # compute dtype override ('' = keep input dtype)

@@ -91,9 +91,12 @@ class Lexp:
 def _parse_value(s: str, pos: int) -> tuple[Lexp, int]:
     if pos < len(s) and s[pos] == "(":
         return _parse_list(s, pos)
-    # leaf: consume until unescaped special char
+    # leaf: consume until an unescaped special char. Balanced parens inside a
+    # leaf are allowed (so %(var) templating refs parse unescaped, matching
+    # the reference's CLI usage like --fn=%(models_dir)/x).
     out = []
     start = pos
+    depth = 0
     while pos < len(s):
         c = s[pos]
         if c == "\\":
@@ -103,10 +106,19 @@ def _parse_value(s: str, pos: int) -> tuple[Lexp, int]:
             out.append(s[pos + 1])
             pos += 2
             continue
-        if c in _SPECIAL:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c in ",=" and depth == 0:
             break
         out.append(c)
         pos += 1
+    if depth:
+        raise LexpError(
+            f"lexp parse error: unbalanced '(' inside leaf value in {s!r}")
     return Lexp(leaf_val="".join(out), src=s[start:pos]), pos
 
 

@@ -80,3 +80,19 @@ def test_wisdom_driven_tunes(tmp_path):
     base.init(pipe)
     ref = base.run_fwd({"data": x}, ["prob"])["prob"].data
     assert np.abs(ref - out).max() < 1e-4
+
+
+def test_s2d_conv_matches_xla():
+    """Space-to-depth strided conv (tune-gated) == stock XLA strided conv."""
+    from boda_tpu.utils.lexp import parse_lexp
+    pipe, x = _setup(img=2)
+    ref = make("conv_fwd", "xla")
+    ref.init(pipe)
+    want = ref.run_fwd({"data": x}, ["prob"])["prob"].data
+    eng = make("conv_fwd", "pallas", tune=parse_lexp("(use_s2d=1)"))
+    eng.init(pipe)
+    got = eng.run_fwd({"data": x}, ["prob"])["prob"].data
+    assert "s2d_conv" in eng.get_info_log()
+    r = comp_vars(want, got, mrd_toler=1e-4,
+                  atol=1e-5 * max(1e-30, float(np.abs(want).max())))
+    assert r.ok(), r
