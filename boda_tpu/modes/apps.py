@@ -32,9 +32,12 @@ class CnetPredict(Mode):
     labels_fn = Field("filename", default="", help="class-label names, one/line")
     in_sz = Field(int, default="0", help="input size (0=model default)")
     scale = Field(float, default="1.0", help="input scale after mean subtract")
+    # multi-scale: also evaluate a 2x-upsampled center crop and average probs
+    # (ref enable_upsamp_net second-net flow, caffeif.H:50)
+    enable_upsamp_net = Field(bool, default="0", help="average with 2x-upsampled crop")
 
     def main(self) -> None:
-        from ..apps.preproc import img_to_batch_np
+        from ..apps.preproc import center_crop, img_to_batch_np
         imgs = [Img.load(fn) for fn in self.img_fns]
         pipe, in_dims = load_net(self.model, self.ptt_fn, self.weights_fn,
                                  img=len(imgs), in_sz=self.in_sz)
@@ -46,6 +49,16 @@ class CnetPredict(Mode):
         self.conv_fwd.init(pipe)
         outs = self.conv_fwd.run_fwd({"data": NDA(d, x)}, [self.out_node_name])
         prob = outs[self.out_node_name].data.reshape(len(imgs), -1)
+        if self.enable_upsamp_net:
+            up = np.zeros_like(batch)
+            for i, im in enumerate(imgs):
+                big = im.resize(d["y"] * 2, d["x"] * 2)
+                up[i] = center_crop(big.data, d["y"], d["x"])
+            xu = img_to_batch_np(up, scale=self.scale).astype(np.float32)
+            outs_u = self.conv_fwd.run_fwd({"data": NDA(d, xu)},
+                                           [self.out_node_name])
+            prob = 0.5 * (prob + outs_u[self.out_node_name].data
+                          .reshape(len(imgs), -1))
         labels = None
         if self.labels_fn:
             with open(self.labels_fn) as f:

@@ -26,7 +26,16 @@ def load_net(model: str, ptt_fn: str, weights_fn: str, img: int,
             kw["in_sz"] = in_sz
         return build_model(model, **kw)
     if ptt_fn:
+        import os
         from ..frontend.pipe_builder import pipe_from_prototxt
+        if weights_fn:
+            # alternate-location fallback (ref ensure_one_is_regular_file,
+            # caffeif.H:41-42): first existing of a ':'-separated list wins
+            cands = weights_fn.split(":")
+            existing = [c for c in cands if os.path.isfile(c)]
+            if not existing:
+                raise ConfigError(f"no weights file found among {cands}")
+            weights_fn = existing[0]
         return pipe_from_prototxt(ptt_fn, weights_fn=weights_fn, img=img,
                                   in_sz=in_sz)
     raise ConfigError("one of --model= or --ptt-fn= is required")

@@ -31,7 +31,10 @@ def _jnp_dtype(tn: str):
 
 
 def time_diff_method(run_once, block_on, n_iters: int = 20, warmup: int = 3) -> float:
-    """Steady-state secs/iter: slope between an n-iter and a 2n-iter batch."""
+    """Steady-state secs/iter: slope between an n-iter and a 2n-iter batch
+    (cancels fixed dispatch/sync latency). Noise guard: if the slope is an
+    implausibly small fraction of the per-iter wall time, re-measure with a
+    larger n (dispatch jitter can otherwise produce ~0 slopes)."""
     import time as _time
 
     def batch(n):
@@ -45,9 +48,15 @@ def time_diff_method(run_once, block_on, n_iters: int = 20, warmup: int = 3) -> 
     for _ in range(warmup):
         outs = run_once()
         block_on(outs if isinstance(outs, tuple) else (outs,))
-    t_n = batch(n_iters)
-    t_2n = batch(2 * n_iters)
-    return max((t_2n - t_n) / n_iters, 1e-12)
+    n = n_iters
+    for _attempt in range(3):
+        t_n = batch(n)
+        t_2n = batch(2 * n)
+        slope = (t_2n - t_n) / n
+        if slope > 0.02 * (t_n / n):
+            return slope
+        n *= 4  # suspicious slope: amortize harder
+    return max(slope, t_2n / (2 * n) * 0.5, 1e-12)
 
 
 class _JaxBackend(Backend):

@@ -170,3 +170,35 @@ def test_img_pyra_pack_mode(tmp_path, capsys):
     assert "scales into" in capsys.readouterr().out
     import os
     assert any(f.startswith("plane_") for f in os.listdir(tmp_path))
+
+
+def test_cnet_predict_upsamp(tmp_path, capsys):
+    rc = main(["cnet_predict", "--model=mini_resnet", "--in-sz=32",
+               "--enable-upsamp-net=1", f"--img-fns=(a={IMGS}/test1.png)",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    assert '"top"' in capsys.readouterr().out
+
+
+def test_plot_modes(tmp_path):
+    rc = main(["roofline_plot", "--model=mini_resnet", "--img=2",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    assert (tmp_path / "roofline.png").exists()
+    from boda_tpu.prof.wisdom import OpRun, OpWisdom, write_wisdom
+    from boda_tpu.ops.op_base import Op
+    w = OpWisdom(Op.parse("(type=sgemm,a=(M=8,K=8),b=(K=8,N=8),c=(M=8,N=8))"))
+    w.runs.append(OpRun("()", "p", 1e-4))
+    w.runs.append(OpRun("(bm=8)", "p", 2e-4))
+    write_wisdom(str(tmp_path / "w.wis"), [w])
+    rc = main(["wis_plot", f"--wisdom-fn={tmp_path}/w.wis",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    assert (tmp_path / "wisdom.png").exists()
+
+
+def test_weights_fallback(tmp_path):
+    # ':'-separated weights list: first existing wins; none -> clean error
+    rc = main(["run_cnet", "--ptt-fn=/root/repo/testdata/nets/tinynet.prototxt",
+               "--weights-fn=/no/a:/no/b", f"--boda-output-dir={tmp_path}"])
+    assert rc == 1
