@@ -34,6 +34,7 @@ def main() -> int:
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     prec = os.environ.get("BENCH_PREC", "default")
     ctn = os.environ.get("BENCH_TN", "bfloat16")
+    wisdom = os.environ.get("BENCH_WISDOM", "")
 
     import boda_tpu.modes_all  # noqa: F401
     from boda_tpu.config import make
@@ -42,7 +43,10 @@ def main() -> int:
     from boda_tpu.utils.dims import NDA
 
     pipe, in_dims = build_model(model, img=img)
-    eng = make("conv_fwd", engine, precision=prec, compute_tn=ctn)
+    kw = {}
+    if wisdom and engine == "pallas":
+        kw["wisdom_fn"] = wisdom
+    eng = make("conv_fwd", engine, precision=prec, compute_tn=ctn, **kw)
     eng.init(pipe)
     d = in_dims["data"]
     x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))

@@ -257,6 +257,49 @@ class FwdEngine:
                 res[n] = NDA(d, np.asarray(arr, dtype=np_dtype(d.tn)))
         return res
 
+    def per_layer_times(self, ins: dict[str, NDA], n_iters: int = 10) -> dict[str, float]:
+        """Per-op runtimes: each op's lowered fn jitted standalone and timed on
+        the activations from a real forward pass (ref per_layer_time dumps,
+        rtc_fwd.cc:560-572; with a whole-net XLA program, standalone per-op
+        timing is the honest decomposition — fusion effects excluded)."""
+        import jax
+
+        from ..rtc.backends import time_diff_method
+        pipe = self.pipe
+        # materialize every op input via a full forward
+        all_nodes = [n for n, node in pipe.nodes.items()
+                     if node.dims is not None and n not in pipe.weights]
+        acts = self.run_fwd(ins, [n for n in all_nodes
+                                  if pipe.nodes[n].top_for or n in ins])
+        dev = self.device()
+        vals = {k: jax.device_put(self._to_internal(k, v.data), dev)
+                for k, v in acts.items()}
+        vals.update(self._weights_dev)
+        out: dict[str, float] = {}
+        for op_name in pipe.topo_op_order():
+            op = pipe.ops[op_name]
+            try:
+                bots = [vals[b] for b in op.bots]
+            except KeyError:
+                continue
+            fn = jax.jit(self._lowered[op_name])
+            try:
+                secs = time_diff_method(
+                    lambda fn=fn, bots=bots: fn(*bots),
+                    lambda outs: jax.tree_util.tree_map(
+                        lambda a: a.block_until_ready()
+                        if hasattr(a, "block_until_ready") else a, outs),
+                    n_iters=n_iters, warmup=2)
+            except Exception as e:  # per-op lowering may need engine prep
+                self._info_log.append(f"per_layer_times: {op_name} skipped ({e})")
+                continue
+            out[op_name] = secs
+        return out
+
+    def _to_internal(self, node: str, arr):
+        """Convert a logical (NCHW) activation to the engine's internal layout."""
+        return arr
+
     def time_fwd(self, ins: dict[str, NDA], out_names: list[str],
                  n_iters: int = 20, warmup: int = 3) -> float:
         """Steady-state secs per whole-net forward (difference method — see
@@ -468,6 +511,11 @@ class PallasFwd(FwdEngine):
             if prep is not None:
                 data = prep[0](data)
             self._weights_dev[k] = jax.device_put(data, dev)
+
+    def _to_internal(self, node: str, arr):
+        if self.layout == "nhwc" and self._is_4d(node) and arr.ndim == 4:
+            return arr.transpose(0, 2, 3, 1)
+        return arr
 
     def _is_4d(self, node: str) -> bool:
         d = self.pipe.nodes[node].dims

@@ -84,6 +84,7 @@ class RunCnet(_NetMode):
     out_node_name = Field(str, default="prob", help="output node to fetch")
     n_iters = Field(int, default="0", help="if >0, also time n_iters forwards")
     dump_top_n = Field(int, default="5", help="print top-N of output")
+    per_layer_fn = Field(str, default="", help="write per-layer times to this file")
 
     def main(self) -> None:
         import numpy as np
@@ -110,6 +111,15 @@ class RunCnet(_NetMode):
                 "img_per_sec": round(self.img / secs, 2),
                 "GF/s": round(fl / secs / 1e9, 1),
             }))
+        if self.per_layer_fn:
+            times = self.conv_fwd.per_layer_times(ins)
+            with open(self.out_path(self.per_layer_fn), "w") as f:
+                for tag, secs in times.items():
+                    # python-parseable format (ref rtc_fwd.cc:560-572)
+                    f.write(f"per_layer_time['{tag}']={secs!r}\n")
+            tot = sum(times.values())
+            print(f"per-layer times: {len(times)} ops, sum {tot * 1e3:.3f}ms "
+                  f"-> {self.per_layer_fn}")
         il = self.conv_fwd.get_info_log()
         if il:
             print(il)
