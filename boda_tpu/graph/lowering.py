@@ -105,13 +105,19 @@ def _lower_ip(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
 @lower_rule("Deconvolution")
 def _lower_deconv(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
     s, p = op.stride(), op.pad()
+    k = op.kern_sz()
+    # Caffe deconv == gradient of conv wrt its input (spreading, ref
+    # conv_util.cc Spreading) == transposed conv. lax.conv_transpose padding
+    # is that of the underlying dilated forward conv: k-1-p per side gives
+    # the Caffe output size (in-1)*s + k - 2p. Our weights (out_chan,
+    # in_chan, kh, kw) are the forward kernel's (I, O, kh, kw).
+    tpad = [(k[0] - 1 - p[0], k[0] - 1 - p[0]),
+            (k[1] - 1 - p[1], k[1] - 1 - p[1])]
 
     def fn(x, w, b):
-        # Caffe deconv == gradient of conv wrt its input (spreading, ref
-        # conv_util.cc Spreading) == transposed conv.
         out = lax.conv_transpose(
-            x, w, strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            x, w, strides=s, padding=tpad,
+            dimension_numbers=("NCHW", "IOHW", "NCHW"),
             transpose_kernel=True,
             precision=ctx.prec,
         )

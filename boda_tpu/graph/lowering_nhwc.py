@@ -141,13 +141,18 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
 @nhwc_rule("Deconvolution")
 def _nhwc_deconv(pipe, op, ctx, tune, info_log):
     s, p = op.stride(), op.pad()
+    k = op.kern_sz()
+    tpad = [(k[0] - 1 - p[0], k[0] - 1 - p[0]),
+            (k[1] - 1 - p[1], k[1] - 1 - p[1])]
     preps = {op.bots[1]: (lambda w: w.transpose(2, 3, 1, 0),
                           lambda g: g.transpose(3, 2, 0, 1))}
+    # prepped weight is (kh, kw, in_chan, out_chan); as the forward kernel of
+    # the transpose that's (kh, kw, O, I) -> spec HWOI (see lowering.py note)
 
     def fn(x, w, b):
         out = lax.conv_transpose(
-            x, w, strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+            x, w, strides=s, padding=tpad,
+            dimension_numbers=("NHWC", "HWOI", "NHWC"), transpose_kernel=True,
             precision=PRECISIONS[tune.precision])
         return ((out + b.reshape(1, 1, 1, -1)).astype(x.dtype),)
     return fn, preps

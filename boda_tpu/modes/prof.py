@@ -58,6 +58,7 @@ class GenProfOps(Mode):
     model = Field(str, default="", help="zoo model name")
     ptt_fn = Field("filename", default="", help="caffe prototxt")
     img = Field(int, default="1", help="batch size")
+    tn = Field(str, default="", help="override signature dtype (e.g. bfloat16)")
     out_fn = Field(str, default="prof-ops.txt", help="output corpus file")
 
     def main(self) -> None:
@@ -66,6 +67,10 @@ class GenProfOps(Mode):
         from .cnet import load_net
         pipe, _ = load_net(self.model, self.ptt_fn, "", self.img, 0)
         sigs = collect_net_sigs(pipe)
+        if self.tn:
+            for s in sigs:
+                s.dims_vals = {k: d.with_tn(self.tn)
+                               for k, d in s.dims_vals.items()}
         fn = self.out_path(self.out_fn)
         save_op_sigs(fn, sigs)
         print(f"gen_prof_ops: {len(sigs)} unique op sigs from {pipe.name} -> {self.out_fn}")
