@@ -131,6 +131,11 @@ class FwdEngine:
         self._weights_dev = {k: jax.device_put(self._cast_w(w.data), dev)
                              for k, w in self.pipe.weights.items()}
 
+    def example_weights(self) -> dict:
+        """Host-side weights in the engine's expected (cast+prepped) form —
+        what build_raw_fn's `weights` argument must look like."""
+        return {k: self._cast_w(w.data) for k, w in self.pipe.weights.items()}
+
     def set_det_drop_seed(self, seed: int) -> None:
         self.det_drop_seed = seed
         if self.pipe is not None:
@@ -351,6 +356,9 @@ class PallasFwd(FwdEngine):
             if op_name in self.pipe.ops else None
         if sig is None:
             return None
+        if self.compute_tn:  # wisdom keys carry the compute dtype
+            sig.dims_vals = {k: d.with_tn(self.compute_tn)
+                             for k, d in sig.dims_vals.items()}
         w = self._wisdom.get(sig.key())
         if w is None:
             return None
@@ -516,6 +524,16 @@ class PallasFwd(FwdEngine):
         if self.layout == "nhwc" and self._is_4d(node) and arr.ndim == 4:
             return arr.transpose(0, 2, 3, 1)
         return arr
+
+    def example_weights(self) -> dict:
+        out = {}
+        for k, w in self.pipe.weights.items():
+            data = self._cast_w(w.data)
+            prep = self._weight_preps.get(k)
+            if prep is not None:
+                data = prep[0](data)
+            out[k] = data
+        return out
 
     def _is_4d(self, node: str) -> bool:
         d = self.pipe.nodes[node].dims

@@ -96,3 +96,15 @@ def test_s2d_conv_matches_xla():
     r = comp_vars(want, got, mrd_toler=1e-4,
                   atol=1e-5 * max(1e-30, float(np.abs(want).max())))
     assert r.ok(), r
+
+
+def test_graft_entry_points():
+    """Driver contract: entry() jits; dryrun_multichip runs a sharded step."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    import jax
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert float(out["prob"].sum()) == pytest.approx(1.0, abs=1e-3)
+    ge.dryrun_multichip(8)
