@@ -34,7 +34,12 @@ def main() -> int:
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     prec = os.environ.get("BENCH_PREC", "default")
     ctn = os.environ.get("BENCH_TN", "bfloat16")
-    wisdom = os.environ.get("BENCH_WISDOM", "")
+    default_wis = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "testdata", "wisdom",
+                               f"{model}-{ctn or 'float32'}".replace(
+                                   "-bfloat16", "-bf16") + "-v5e.wis")
+    wisdom = os.environ.get("BENCH_WISDOM",
+                            default_wis if os.path.exists(default_wis) else "")
 
     import boda_tpu.modes_all  # noqa: F401
     from boda_tpu.config import make
