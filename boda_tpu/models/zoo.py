@@ -362,8 +362,33 @@ def build_mini_resnet(img: int = 4, num_cls: int = 16, in_sz: int = 32,
     return b.done(in_dims), in_dims
 
 
+def build_firenet(img: int = 1, num_cls: int = 1000, in_sz: int = 227,
+                  n_fire: int = 8):
+    """FireNet-N (ref nets/firenet*): squeezenet-style fire stack with
+    periodic pooling; the reference's small detection-oriented conv net."""
+    b = NetBuilder("firenet")
+    t = b.input("data")
+    t = b.conv("conv1", t, 64, 3, stride=2, in_chans=3, relu=True)
+    c = 64
+    for i in range(2, 2 + n_fire):
+        sq, e1, e3 = 16 * ((i // 2) + 1), 64 * ((i // 2) + 1), 64 * ((i // 2) + 1)
+        s_ = b.conv(f"fire{i}/squeeze1x1", t, sq, 1, in_chans=c, relu=True)
+        a = b.conv(f"fire{i}/expand1x1", s_, e1, 1, in_chans=sq, relu=True)
+        d = b.conv(f"fire{i}/expand3x3", s_, e3, 3, pad=1, in_chans=sq, relu=True)
+        t = b.concat(f"fire{i}/concat", [a, d])
+        c = e1 + e3
+        if i % 3 == 0:
+            t = b.pool(f"pool{i}", t, kern=3, stride=2)
+    t = b.conv("conv_final", t, num_cls, 1, in_chans=c, relu=True)
+    t = b.pool("pool_final", t, avg=True, global_pool=True)
+    b.softmax("prob", t)
+    in_dims = {"data": Dims.of(img=img, chan=3, y=in_sz, x=in_sz)}
+    return b.done(in_dims), in_dims
+
+
 MODELS = {
     "mini_resnet": build_mini_resnet,
+    "firenet": build_firenet,
     "alexnet_ng_conv": build_alexnet_ng_conv,
     "nin_imagenet": build_nin_imagenet,
     "googlenet_conv": build_googlenet_conv,

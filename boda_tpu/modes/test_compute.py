@@ -99,3 +99,29 @@ class TestCompute(Mode):
               f"nodes={len(check_nodes)}: {status}")
         if n_fail:
             sys.exit(1)
+
+
+@register("mode", "comp_ndas", help="compare two digest streams with a tolerance")
+class CompNdas(Mode):
+    """ref comp-ndas (test_nesi.cc:91): tolerance-compare stored streams."""
+    a_fn = Field("filename", req=True, help="first digest stream")
+    b_fn = Field("filename", req=True, help="second digest stream")
+    mrd_toler = Field(float, default="1e-5", help="max allowed digest mrd")
+
+    def main(self) -> None:
+        a = DigestStream.load(self.a_fn).as_dict()
+        b = DigestStream.load(self.b_fn).as_dict()
+        n_fail = 0
+        if set(a) != set(b):
+            print(f"entry sets differ: only-a={sorted(set(a)-set(b))} "
+                  f"only-b={sorted(set(b)-set(a))}")
+            n_fail += 1
+        for k in sorted(set(a) & set(b)):
+            mrd = a[k].mrd_comp(b[k])
+            if mrd > self.mrd_toler:
+                print(f"FAIL {k}: mrd {mrd:.3g} > {self.mrd_toler:g}")
+                n_fail += 1
+        print(f"comp_ndas: {len(set(a) & set(b))} entries, "
+              f"{'PASS' if n_fail == 0 else f'{n_fail} FAILED'}")
+        if n_fail:
+            sys.exit(1)

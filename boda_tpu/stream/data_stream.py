@@ -357,6 +357,66 @@ class CsvSink(DataStream):
         self._f.close()
 
 
+@register("data_stream", "add-img", help="convert nda blocks to RGBA image blocks")
+class AddImg(DataStream):
+    """ref data-to-img.cc:12 add-img: normalize an nda into a viewable image."""
+    src = Field("data_stream", req=True, help="upstream source")
+
+    def start(self) -> None:
+        self.src.start()
+
+    def proc_one(self, blk):
+        if blk is None or blk.nda is None:
+            return blk
+        d = blk.nda.data.astype(np.float32)
+        if d.ndim == 3 and d.shape[2] in (3, 4):
+            rgb = d[..., :3]
+        elif d.ndim == 2:
+            rgb = np.repeat(d[..., None], 3, axis=2)
+        else:
+            return blk
+        lo, hi = float(rgb.min()), float(rgb.max())
+        scale = 255.0 / (hi - lo) if hi > lo else 1.0
+        u8 = ((rgb - lo) * scale).astype(np.uint8)
+        a = np.full(u8.shape[:2] + (1,), 255, np.uint8)
+        from ..utils.dims import NDA
+        blk.nda = NDA.from_array(np.concatenate([u8, a], axis=2), ("y", "x", "c"))
+        return blk
+
+    def read(self):
+        return self.proc_one(self.src.read())
+
+
+@register("data_stream", "add-img-pts", help="render (N,>=3) point blocks top-down")
+class AddImgPts(DataStream):
+    """Point-cloud to image (the os-render.cc OSMesa renderer's role, done as
+    a top-down orthographic projection; no GL in this environment)."""
+    src = Field("data_stream", req=True, help="upstream point source")
+    img_sz = Field(int, default="256", help="output image size")
+    rng_m = Field(float, default="100.0", help="meters covered half-width")
+
+    def start(self) -> None:
+        self.src.start()
+
+    def read(self):
+        blk = self.src.read()
+        if blk is None or blk.nda is None or blk.nda.data.ndim != 2 \
+                or blk.nda.data.shape[1] < 3:
+            return blk
+        pts = blk.nda.data
+        n = self.img_sz
+        img = np.zeros((n, n, 4), np.uint8)
+        img[:, :, 3] = 255
+        xs = ((pts[:, 0] / self.rng_m * 0.5 + 0.5) * (n - 1)).astype(int)
+        ys = ((pts[:, 1] / self.rng_m * 0.5 + 0.5) * (n - 1)).astype(int)
+        ok = (xs >= 0) & (xs < n) & (ys >= 0) & (ys < n)
+        inten = pts[:, 3].astype(np.uint8) if pts.shape[1] > 3 else 255
+        img[ys[ok], xs[ok], 1] = inten[ok] if pts.shape[1] > 3 else 255
+        from ..utils.dims import NDA
+        blk.nda = NDA.from_array(img, ("y", "x", "c"))
+        return blk
+
+
 # -- gated format-specific streams ------------------------------------------------------
 
 for _fmt in ("ffmpeg", "mxnet-brick", "pcap", "rosbag"):

@@ -214,3 +214,60 @@ def test_lmdb_feature_gated(tmp_path):
     rc = main(["test_lmdb", "--db-fn=/tmp/nosuch", "--model=mini_resnet",
                f"--boda-output-dir={tmp_path}"])
     assert rc == 1
+
+
+def test_add_img_and_pts(tmp_path):
+    from boda_tpu.stream.velodyne import encode_packet, packet_to_points_vlp16
+    # add-img: normalize an nda block to RGBA
+    src = _mk("(stream=add-img,src=(stream=gen-src,n=1,sz=16))")
+    b = src.read()
+    assert b is not None  # 1D nda passes through unchanged
+    # images: img-dir-src -> add-img keeps RGBA
+    src = _mk("(stream=add-img,src=(stream=img-dir-src,dir=/root/repo/testdata/images,glob=test))")
+    b = src.read()
+    assert b.nda.data.shape[2] == 4
+    # add-img-pts: points -> top-down image
+    import boda_tpu.stream.data_stream as ds
+    pkt, *_ = _synth_packet()
+    pts = packet_to_points_vlp16(pkt)
+    from boda_tpu.config import make
+    from boda_tpu.utils.dims import NDA as _NDA
+    conv = make("data_stream", "add-img-pts",
+                src=make("data_stream", "gen-src", n=0), img_sz=64, rng_m=100.0)
+    blk = ds.DataBlock(ts=0, tag="pts", nda=_NDA.from_array(pts))
+    conv.src._ix = 0
+    out = conv.read()  # gen-src exhausted -> None
+    assert out is None
+    # direct conversion path
+    class _One(ds.DataStream):
+        def start(self):
+            self._done = False
+        def read(self):
+            if self._done:
+                return None
+            self._done = True
+            return ds.DataBlock(ts=0, tag="pts", nda=_NDA.from_array(pts))
+    one = _One()
+    one.start()
+    conv2 = make("data_stream", "add-img-pts", src=one, img_sz=64)
+    img_blk = conv2.read()
+    assert img_blk.nda.data.shape == (64, 64, 4)
+    assert img_blk.nda.data[:, :, 1].sum() > 0  # points rendered
+
+
+def test_comp_ndas_mode(tmp_path, capsys):
+    from boda_tpu.utils.digest import DigestStream
+    rng = np.random.RandomState(0)
+    a = rng.randn(4, 4).astype(np.float32)
+    d1 = DigestStream()
+    d1.add("x", a)
+    d1.save(str(tmp_path / "a.boda"))
+    d2 = DigestStream()
+    d2.add("x", a * 1.5)
+    d2.save(str(tmp_path / "b.boda"))
+    rc = main(["comp_ndas", f"--a-fn={tmp_path}/a.boda",
+               f"--b-fn={tmp_path}/a.boda", f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    rc = main(["comp_ndas", f"--a-fn={tmp_path}/a.boda",
+               f"--b-fn={tmp_path}/b.boda", f"--boda-output-dir={tmp_path}"])
+    assert rc == 1
