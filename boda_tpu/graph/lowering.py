@@ -190,12 +190,16 @@ def _lower_lrn(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
 
     def fn(x):
         # across-channel LRN (Caffe default): scale = k + alpha/size * sum(x^2)
+        # implemented as a static shifted-slice sum over the channel window
+        # (reduce_window over a channel dim tickles an XLA/TPU layout bug and
+        # fuses worse; `size` is tiny so the unroll is free)
         x32 = x.astype(jnp.float32)
         sq = x32 * x32
-        ssum = lax.reduce_window(
-            sq, 0.0, lax.add,
-            window_dimensions=(1, size, 1, 1), window_strides=(1, 1, 1, 1),
-            padding=((0, 0), (half, size - 1 - half), (0, 0), (0, 0)))
+        c = x.shape[1]
+        sqp = jnp.pad(sq, ((0, 0), (half, size - 1 - half), (0, 0), (0, 0)))
+        ssum = sqp[:, 0:c]
+        for i in range(1, size):
+            ssum = ssum + sqp[:, i:i + c]
         scale = k + (alpha / size) * ssum
         return ((x32 * jnp.power(scale, -beta)).astype(x.dtype),)
     return fn

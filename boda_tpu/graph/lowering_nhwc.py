@@ -253,10 +253,12 @@ def _nhwc_lrn(pipe, op, ctx, tune, info_log):
 
     def fn(x):
         x32 = x.astype(jnp.float32)
-        ssum = lax.reduce_window(
-            x32 * x32, 0.0, lax.add,
-            window_dimensions=(1, 1, 1, size), window_strides=(1, 1, 1, 1),
-            padding=((0, 0), (0, 0), (0, 0), (half, size - 1 - half)))
+        sq = x32 * x32
+        c = x.shape[3]
+        sqp = jnp.pad(sq, ((0, 0), (0, 0), (0, 0), (half, size - 1 - half)))
+        ssum = sqp[..., 0:c]
+        for i in range(1, size):
+            ssum = ssum + sqp[..., i:i + c]
         return ((x32 * jnp.power(kk + (alpha / size) * ssum, -beta))
                 .astype(x.dtype),)
     return _no_preps(fn)
