@@ -95,6 +95,32 @@ def resize_conv(pipe: ConvPipe, op_name: str, new_kern: tuple[int, int],
     op.params["kern_sz"] = (ny, nx)
 
 
+def upsample_2x_net(pipe: ConvPipe) -> str:
+    """Make the net operate on a 2x-upsampled input with EXACTLY aligned
+    outputs (ref make_upsamp_net / upsample weight fabrication,
+    caffepb.cc:604,:795): the FIRST Convolution's filters are 2x
+    nearest-repeated per axis and scaled by 1/4, stride and pad double.
+    For nearest-2x-upsampled input, every w[k] tap then accumulates its
+    original x[i+k] exactly (each of the 4 repeats sees the same pixel),
+    so the whole downstream net is bit-compatible up to fp reassociation."""
+    for op_name in pipe.topo_op_order():
+        op = pipe.ops[op_name]
+        if op.type == "Convolution":
+            k = op.kern_sz()
+            w = pipe.weights[op.bots[1]]
+            up = np.repeat(np.repeat(w.data, 2, axis=2), 2, axis=3) * 0.25
+            new_wd = Dims.of(out_chan=w.dims["out_chan"],
+                             in_chan=w.dims["in_chan"],
+                             y=k[0] * 2, x=k[1] * 2, tn=w.dims.tn)
+            pipe.weights[op.bots[1]] = NDA(new_wd, up)
+            pipe.nodes[op.bots[1]].dims = new_wd
+            op.params["kern_sz"] = (k[0] * 2, k[1] * 2)
+            op.params["stride"] = (op.stride()[0] * 2, op.stride()[1] * 2)
+            op.params["pad"] = (op.pad()[0] * 2, op.pad()[1] * 2)
+            return op_name
+    raise ValueError("upsample_2x_net: no Convolution found")
+
+
 # -- net writers (prototxt + caffemodel) ---------------------------------------------
 
 def pipe_to_prototxt(pipe: ConvPipe) -> str:

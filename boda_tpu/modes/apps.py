@@ -206,6 +206,57 @@ class TestDense(Mode):
             sys.exit(1)
 
 
+@register("mode", "test_upsamp", help="2x-upsampled-net vs original-net equivalence")
+class TestUpsamp(Mode):
+    """ref test_upsamp_t (test_dense.cc:144): a net whose first conv uses
+    2x-upsampled filters + doubled stride/pad, run on a 2x-upsampled image,
+    must approximate the original net on the original image."""
+    model = Field(str, default="mini_resnet", help="zoo conv model")
+    out_node_name = Field(str, req=True, help="feature node to compare")
+    in_sz = Field(int, default="32", help="original input size")
+    mrd_toler = Field(float, default="1e-4", help="tolerance (fp reassociation only)")
+
+    def main(self) -> None:
+        import sys
+
+        from ..config import make
+        from ..frontend.surgery import upsample_2x_net
+        from ..utils.digest import comp_vars
+        from ..ops.kernels.gen_data import gen_data_pattern
+        pipe_a, ind_a = load_net(self.model, "", "", img=1, in_sz=self.in_sz)
+        pipe_b, ind_b = load_net(self.model, "", "", img=1, in_sz=self.in_sz * 2)
+        changed = upsample_2x_net(pipe_b)
+        # re-infer shapes with the modified first conv
+        for node in pipe_b.nodes.values():
+            if node.name not in pipe_b.weights and node.name != "data":
+                node.dims = None
+        pipe_b.nodes["data"].dims = ind_b["data"]
+        pipe_b.calc_dims(ind_b)
+        da, db = ind_a["data"], ind_b["data"]
+        if pipe_b.must_dims(self.out_node_name).shape != \
+                pipe_a.must_dims(self.out_node_name).shape:
+            raise ConfigError(
+                f"upsampled net output {pipe_b.must_dims(self.out_node_name)} != "
+                f"original {pipe_a.must_dims(self.out_node_name)}")
+        x = np.asarray(gen_data_pattern(da.shape, da.tn), np.float32)
+        # nearest-neighbor 2x upsample: the fabrication is exact for it
+        x_up = np.repeat(np.repeat(x, 2, axis=2), 2, axis=3)
+        ea = make("conv_fwd", "xla")
+        ea.init(pipe_a)
+        eb = make("conv_fwd", "xla")
+        eb.init(pipe_b)
+        fa = ea.run_fwd({"data": NDA(da, x)}, [self.out_node_name])
+        fb = eb.run_fwd({"data": NDA(db, x_up)}, [self.out_node_name])
+        a = fa[self.out_node_name].data
+        b = fb[self.out_node_name].data
+        scale = max(1e-30, float(np.abs(a).max()))
+        r = comp_vars(a, b, mrd_toler=self.mrd_toler, atol=self.mrd_toler * scale)
+        print(f"test_upsamp {self.model}/{self.out_node_name} (first conv "
+              f"{changed!r} upsampled): {'PASS' if r.ok() else 'FAIL'} ({r})")
+        if not r.ok():
+            sys.exit(1)
+
+
 @register("mode", "score", help="score detections vs ground truth (VOC PR/mAP)")
 class Score(Mode):
     dets_fn = Field("filename", req=True, help="detections file")

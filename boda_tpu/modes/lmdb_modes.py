@@ -50,6 +50,11 @@ class LmdbParseDatums(Mode):
         print(f"lmdb_parse_datums: {n} records, {len(labels)} distinct labels")
 
 
+@register("mode", "display_lmdb", help="dump datum records as PNGs (headless display)")
+class DisplayLmdb(LmdbParseDatums):
+    write_pngs = Field(int, default="16", help="write first N records as PNGs")
+
+
 @register("mode", "test_lmdb", help="classification accuracy benchmark over records")
 class TestLmdb(Mode):
     db_fn = Field("filename", default="", help="lmdb directory (needs lmdb feature)")

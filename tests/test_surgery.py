@@ -90,3 +90,31 @@ def test_surgery_modes(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "weight blobs" in out and "resized conv1" in out
+
+
+def test_upsample_2x_net_exact():
+    from boda_tpu.frontend.surgery import upsample_2x_net
+    pipe, in_dims = pipe_from_prototxt(PTT)
+    name = upsample_2x_net(pipe)
+    assert name == "conv1"
+    assert pipe.ops["conv1"].kern_sz() == (6, 6)
+    assert pipe.ops["conv1"].stride() == (2, 2)
+    assert pipe.weights["conv1__filts"].dims.shape == (8, 3, 6, 6)
+
+
+def test_upsamp_mode(tmp_path):
+    rc = main(["test_upsamp", "--model=mini_resnet", "--out-node-name=relu1",
+               "--in-sz=16", f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+
+
+def test_serve_bench_mode(tmp_path, capsys):
+    from boda_tpu.utils.native import native_available
+    if not native_available():
+        pytest.skip("no native lib")
+    rc = main(["serve_bench", "--model=mini_resnet",
+               "--img-fns=(a=/root/repo/testdata/images/test2.jpg)",
+               "--img=2", "--n-batches=2", "--conv-fwd=(mode=xla)",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    assert '"img_per_sec"' in capsys.readouterr().out
