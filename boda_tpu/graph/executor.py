@@ -417,24 +417,89 @@ class PallasFwd(FwdEngine):
         self._lowered = {}
         self._lowered_fused = {}
         ctx = self.lower_ctx()
-        # fusable (producer op -> its ReLU consumer): single-consumer pre-relu
-        self._fusable: dict[str, str] = {}
+        # fusion chains (ref conv+relu fusion, rtc_fwd.cc:490, generalized):
+        # conv/fc -> [BatchNorm] -> [Scale] -> [ReLU], each link single-consumer.
+        # BN/Scale fold into the conv's weights/bias inside the jit (Pallas
+        # calls are opaque to XLA epilogue fusion, so unfused BN costs an
+        # extra HBM round trip per conv); ReLU fuses into the kernel store.
+        self._chains: dict[str, list[str]] = {}
         if self.fuse_relu:
             for op_name in pipe.topo_op_order():
                 op = pipe.ops[op_name]
                 if op.type not in ("Convolution", "InnerProduct"):
                     continue
-                consumers = pipe.nodes[op.tops[0]].bot_for
-                if len(consumers) == 1 and \
-                        pipe.ops[consumers[0]].type == "ReLU":
-                    self._fusable[op_name] = consumers[0]
+                chain = []
+                cur = op
+                for want in ("BatchNorm", "Scale", "ReLU"):
+                    consumers = pipe.nodes[cur.tops[0]].bot_for
+                    if len(consumers) != 1:
+                        break
+                    nxt = pipe.ops[consumers[0]]
+                    if nxt.type != want:
+                        if want == "ReLU":
+                            break
+                        continue
+                    if nxt.bots[0] != cur.tops[0]:
+                        break
+                    chain.append(nxt.name)
+                    cur = nxt
+                if chain:
+                    self._chains[op_name] = chain
         for op_name in pipe.topo_op_order():
             op = pipe.ops[op_name]
             self._lowered[op_name] = self._lower(pipe, op, ctx, fused=False)
-            if op_name in self._fusable:
-                self._lowered_fused[op_name] = self._lower(pipe, op, ctx,
-                                                           fused=True)
+            if op_name in self._chains:
+                self._lowered_fused[op_name] = self._lower_chain(
+                    pipe, op, self._chains[op_name], ctx)
         self._upload_weights()
+
+    def _lower_chain(self, pipe: ConvPipe, conv_op, chain: list[str],
+                     ctx: LowerCtx) -> Callable:
+        """Fused lowering for conv(+bias) -> [BN] -> [Scale] -> [ReLU]:
+        computes folded weights/bias in-jit, runs one fused-ReLU kernel."""
+        import jax.numpy as jnp
+        from jax import lax as _lax
+        ops = [pipe.ops[c] for c in chain]
+        has_relu = any(o.type == "ReLU" for o in ops)
+        bn = next((o for o in ops if o.type == "BatchNorm"), None)
+        sc = next((o for o in ops if o.type == "Scale"), None)
+        fused_conv_fn = self._lower(pipe, conv_op, ctx, fused=has_relu)
+        eps = float(bn.p("eps", 1e-5)) if bn is not None else 0.0
+        n_bn = (len(bn.bots) - 1) if bn is not None else 0
+        n_sc = (len(sc.bots) - 1) if sc is not None else 0
+        # NHWC conv weights are (kh,kw,ic,oc): scale broadcasts on the last
+        # axis; fc weights are (oc, in): scale on the first axis.
+        scale_on_last = self.layout == "nhwc" and conv_op.type == "Convolution"
+
+        def fn(x, w, b, *rest):
+            i = 0
+            scale_eff = jnp.float32(1.0)
+            shift = jnp.float32(0.0)
+            if bn is not None:
+                mean, var = rest[i], rest[i + 1]
+                sf = rest[i + 2] if n_bn == 3 else None
+                i += n_bn
+                sfv = jnp.where(sf[0] != 0, 1.0 / sf[0], 1.0) \
+                    if sf is not None else 1.0
+                inv = _lax.rsqrt(var * sfv + eps)
+                scale_eff = scale_eff * inv
+                shift = shift - (mean * sfv) * inv
+            if sc is not None:
+                gamma = rest[i]
+                beta = rest[i + 1] if n_sc == 2 else None
+                i += n_sc
+                scale_eff = scale_eff * gamma
+                shift = shift * gamma
+                if beta is not None:
+                    shift = shift + beta
+            if scale_on_last:
+                w2 = (w * scale_eff.astype(jnp.float32)).astype(w.dtype)
+            else:
+                sh = (-1,) + (1,) * (w.ndim - 1)
+                w2 = (w * scale_eff.reshape(sh).astype(jnp.float32)).astype(w.dtype)
+            b2 = (b * scale_eff + shift).astype(b.dtype)
+            return fused_conv_fn(x, w2, b2)
+        return fn
 
     def _lower(self, pipe: ConvPipe, op, ctx: LowerCtx, fused: bool) -> Callable:
         from copy import copy as _copy
@@ -547,10 +612,22 @@ class PallasFwd(FwdEngine):
         pipe = self.pipe
         topo = pipe.topo_op_order()
         out_set = set(out_names)
-        # per-compile fusion decision: fuse only when pre-relu not requested
-        fused_now = {c: r for c, r in self._fusable.items()
-                     if pipe.ops[c].tops[0] not in out_set}
-        skip_relu = {r: c for c, r in fused_now.items()}
+        # per-compile fusion decision: fuse a chain only when none of its
+        # intermediate values are requested outputs
+        fused_now = {}
+        for conv_name, chain in self._chains.items():
+            inter = [pipe.ops[conv_name].tops[0]] + \
+                [pipe.ops[c].tops[0] for c in chain[:-1]]
+            if not (set(inter) & out_set):
+                fused_now[conv_name] = chain
+        skip_ops = {}
+        for conv_name, chain in fused_now.items():
+            for c in chain:
+                skip_ops[c] = conv_name
+        chain_args = {c: [b for cn in chain for b in pipe.ops[cn].bots[1:]]
+                      for c, chain in fused_now.items()}
+        chain_final_top = {c: pipe.ops[chain[-1]].tops[0]
+                           for c, chain in fused_now.items()}
         lowered = {}
         for op_name in topo:
             if op_name in fused_now:
@@ -569,16 +646,19 @@ class PallasFwd(FwdEngine):
                 vals[k] = v.transpose(0, 2, 3, 1) if is4d.get(k) else v
             for op_name in topo:
                 op = pipe.ops[op_name]
-                if op_name in skip_relu:
-                    # relu was fused into its producer; alias the value
-                    vals[op.tops[0]] = vals[op.bots[0]]
-                    continue
+                if op_name in skip_ops:
+                    continue  # folded into its producer chain
                 try:
                     bot_vals = [vals[b] for b in op.bots]
+                    if op_name in fused_now:
+                        bot_vals += [vals[b] for b in chain_args[op_name]]
                 except KeyError as e:
                     raise PipeError(f"op {op_name!r}: missing input {e}") from None
                 outs = lowered[op_name](*bot_vals)
-                vals.update(zip(op.tops, outs))
+                if op_name in fused_now:
+                    vals[chain_final_top[op_name]] = outs[0]
+                else:
+                    vals.update(zip(op.tops, outs))
             res = {}
             for n in out_names:
                 v = vals[n]

@@ -108,3 +108,22 @@ def test_graft_entry_points():
     out = jax.jit(fn)(*args)
     assert float(out["prob"].sum()) == pytest.approx(1.0, abs=1e-3)
     ge.dryrun_multichip(8)
+
+
+def test_bn_chain_folding_matches_unfused():
+    """conv->BN->Scale->ReLU folding must be numerically invisible."""
+    pipe, x = _setup(img=2)
+    fused = make("conv_fwd", "pallas")  # fuse_relu on by default
+    fused.init(pipe)
+    assert fused._chains, "mini_resnet should have foldable BN chains"
+    a = fused.run_fwd({"data": x}, ["prob"])["prob"].data
+    unfused = make("conv_fwd", "pallas", fuse_relu=False)
+    unfused.init(pipe)
+    b = unfused.run_fwd({"data": x}, ["prob"])["prob"].data
+    r = comp_vars(a, b, mrd_toler=1e-4, atol=1e-5)
+    assert r.ok(), r
+    # requesting an intermediate node disables folding only for that compile
+    mid = list(fused._chains)[0]
+    mid_top = pipe.ops[mid].tops[0]
+    c = fused.run_fwd({"data": x}, ["prob", mid_top])
+    assert mid_top in c
