@@ -24,10 +24,10 @@ Usage::
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Optional
+from typing import Optional
 
 from .utils.dims import Dims
-from .utils.lexp import Lexp, LexpError, check_unused, parse_lexp, str_format_from_nvm
+from .utils.lexp import Lexp, check_unused, parse_lexp, str_format_from_nvm
 
 
 class ConfigError(ValueError):

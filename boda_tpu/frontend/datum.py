@@ -17,7 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..utils.features import is_feature_enabled
-from .caffemodel import _read_varint, parse_wire
+from .caffemodel import parse_wire
 
 
 @dataclass

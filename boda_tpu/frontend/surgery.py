@@ -8,8 +8,6 @@ dense multi-scale evaluation), ``cnet_resize_conv`` (:823 + filter resampling
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 from ..graph.pipe import ConvOp, ConvPipe

@@ -21,7 +21,7 @@ surgery) and the loss gradient is seeded inside the SoftmaxWithLoss backward.
 from __future__ import annotations
 
 from ..utils.dims import Dims
-from .pipe import OP_INFOS, ConvOp, ConvPipe, OpInfo, PipeError, _is_weight_name
+from .pipe import OP_INFOS, ConvOp, ConvPipe, OpInfo, PipeError
 
 GRAD_SUFFIX = "__grad"
 

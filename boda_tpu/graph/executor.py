@@ -20,7 +20,6 @@ regression tests are produced by requesting intermediate nodes as outputs
 
 from __future__ import annotations
 
-import time
 from typing import Callable, Optional
 
 import numpy as np

@@ -18,7 +18,6 @@ that choice lives in the executor's variant-selection policy, not here.
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 from typing import Callable
 
@@ -26,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.dims import Dims, stable_hash
+from ..utils.dims import stable_hash
 from .pipe import ConvOp, ConvPipe, PipeError
 
 PRECISIONS = {"default": lax.Precision.DEFAULT,

@@ -18,7 +18,7 @@ inverse (used to convert weight-GRADIENT values back to the logical layout).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

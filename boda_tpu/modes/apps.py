@@ -15,7 +15,7 @@ import numpy as np
 
 from .. import graph  # noqa: F401
 from ..config import ConfigError, Field, Mode, register
-from ..utils.dims import NDA, Dims
+from ..utils.dims import NDA
 from ..utils.img_io import Img
 from .cnet import load_net
 

@@ -8,11 +8,10 @@ Models come from the programmatic zoo (--model=) or a prototxt (--ptt-fn=).
 from __future__ import annotations
 
 import json
-import sys
 
 from .. import graph  # noqa: F401  (registers the "conv_fwd" engines)
 from ..config import ConfigError, Field, Mode, register
-from ..utils.dims import NDA, Dims
+from ..utils.dims import NDA
 
 
 def load_net(model: str, ptt_fn: str, weights_fn: str, img: int,

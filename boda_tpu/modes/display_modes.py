@@ -9,8 +9,6 @@ render to PNG files instead of windows.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from ..config import ConfigError, Field, Mode, register

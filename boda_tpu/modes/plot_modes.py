@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from ..config import ConfigError, Field, Mode, register
 from .cnet import load_net
-from .rtc import _default_peak
 
 
 @register("mode", "roofline_plot", help="roofline chart of a net's conv/fc ops")
@@ -47,7 +46,6 @@ class RooflinePlot(Mode):
             ax.axvline(ai, color="tab:blue", alpha=0.25, lw=1)
         # measured points from wisdom (best tune per op)
         if self.wisdom_fn:
-            from ..ops.op_base import Op
             from ..prof.wisdom import read_wisdom
             from ..ops.sig_of import rtc_sig_of
             wis = {w.op.key(): w for w in read_wisdom(self.wisdom_fn)}

@@ -8,8 +8,7 @@ Parity targets: the ``pipe`` composition + ``scan-data-stream`` flows
 from __future__ import annotations
 
 from .. import stream  # noqa: F401
-from ..config import ConfigError, Field, Mode, register
-from ..stream import data_stream as ds
+from ..config import Field, Mode, register
 
 
 @register("mode", "scan_data_stream", help="run a data-stream pipeline to exhaustion")

@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 from .. import graph  # noqa: F401
-from ..config import ConfigError, Field, Mode, register
+from ..config import Field, Mode, register
 from ..utils.digest import DigestStream, NdaDigest, comp_vars
 from ..utils.dims import NDA
 from .cnet import load_net

@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import jax.numpy as jnp
-
 from ..graph.lowering import LowerCtx
 from ..graph.pipe import ConvOp, ConvPipe
 from .kernels.conv import pallas_conv2d_nhwc, conv_blocks

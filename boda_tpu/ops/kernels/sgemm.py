@@ -24,7 +24,7 @@ from ...rtc.compute import FuncInfo
 from ..op_base import Op
 from ..registry import GenCtx, kernel_gen
 from ..tune import OpTune
-from .common import cdiv, jdt, pad2d, pick_block, round_up, sublane
+from .common import jdt, pad2d, pick_block, round_up, sublane
 
 
 PRECISIONS = {"default": jax.lax.Precision.DEFAULT,

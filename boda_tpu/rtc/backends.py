@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import Field, register
-from ..utils.dims import NDA, Dims, np_dtype
+from ..utils.dims import NDA, Dims
 from .compute import Backend, FuncInfo
 
 

@@ -14,7 +14,6 @@ already-listening TCP worker.
 
 from __future__ import annotations
 
-import os
 import shlex
 import subprocess
 import sys

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .dims import Dims, np_dtype
+from .dims import Dims
 from .lexp import Lexp, parse_lexp
 
 _N_SAMPLES = 64
