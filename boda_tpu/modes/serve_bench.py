@@ -1,9 +1,11 @@
 """serve_bench: end-to-end serving throughput — native loader feeding the TPU.
 
-The production-pipeline benchmark the reference's capture/LMDB loops play
-(decode -> preprocess -> net, host work overlapped with device compute):
-the native C++ threaded loader (jpeg decode + resize, native/boda_native.cc)
-prefetches batches while the engine runs the previous one.
+The production-pipeline benchmark the reference's capture/LMDB loops play:
+decode -> preprocess -> net, with every stage overlapped:
+  * jpeg decode/resize: native C++ threaded prefetcher (native/boda_native.cc)
+  * preprocessing: fused ON DEVICE into the same XLA program as the net
+    (uint8 RGBA is what crosses the host->device link — 4x less traffic)
+  * dispatch: pipelined (block on batch i-depth while i is in flight)
 """
 
 from __future__ import annotations
@@ -13,7 +15,6 @@ import time
 
 from .. import graph  # noqa: F401
 from ..config import ConfigError, Field, Mode, register
-from ..utils.dims import NDA
 from .cnet import load_net
 
 
@@ -28,28 +29,41 @@ class ServeBench(Mode):
     img = Field(int, default="32", help="batch size")
     n_batches = Field(int, default="20", help="batches to serve")
     n_threads = Field(int, default="4", help="native loader threads")
+    pipeline_depth = Field(int, default="2", help="in-flight batches")
     out_node_name = Field(str, default="prob", help="output node")
 
     def main(self) -> None:
+        import jax
         import numpy as np
 
-        from ..apps.preproc import img_to_batch_np
+        from ..apps.preproc import img_to_batch_jax
         from ..utils.native import BatchLoader, native_available
         if not native_available():
             raise ConfigError("serve_bench needs the native library "
                               "(make -C native failed?)")
         pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img, 0)
-        self.conv_fwd.init(pipe)
+        eng = self.conv_fwd
+        eng.init(pipe)
         d = in_dims["data"]
-        paths = [fn for fn in self.img_fns]
+        net_fn = eng.build_raw_fn([self.out_node_name])
+
+        def serve_fn(weights, rgba_u8):
+            x = img_to_batch_jax(rgba_u8)
+            return net_fn(weights, {"data": x})[self.out_node_name]
+
+        served = jax.jit(serve_fn)
+        dev = eng.device()
+        weights = eng._weights_dev
+        paths = list(self.img_fns)
         n_imgs = self.n_batches * self.img
         paths = (paths * (n_imgs // len(paths) + 1))[:n_imgs]
         # warmup compile
-        warm = np.zeros((self.img, d["y"], d["x"], 4), np.uint8)
-        self.conv_fwd.run_fwd(
-            {"data": NDA(d, img_to_batch_np(warm).astype(np.float32))},
-            [self.out_node_name])
+        warm = jax.device_put(np.zeros((self.img, d["y"], d["x"], 4), np.uint8),
+                              dev)
+        served(weights, warm).block_until_ready()
+
         t0 = time.perf_counter()
+        inflight = []
         n_done = 0
         with BatchLoader(paths, self.img, d["y"], d["x"],
                          n_threads=self.n_threads) as loader:
@@ -58,9 +72,13 @@ class ServeBench(Mode):
                 if r is None:
                     break
                 _, rgba = r
-                x = img_to_batch_np(rgba).astype(np.float32)
-                self.conv_fwd.run_fwd({"data": NDA(d, x)}, [self.out_node_name])
+                u8 = jax.device_put(rgba, dev)
+                inflight.append(served(weights, u8))
+                if len(inflight) > self.pipeline_depth:
+                    inflight.pop(0).block_until_ready()
                 n_done += 1
+            for o in inflight:
+                o.block_until_ready()
         secs = time.perf_counter() - t0
         img_s = n_done * self.img / secs
         print(json.dumps({"mode": "serve_bench", "net": pipe.name,

@@ -58,10 +58,12 @@ def conv_blocks(ind: Dims, fd: Dims, od: Dims, tune: OpTune) -> ConvBlocks | Non
     pw = ind["x"] + 2 * 8  # upper bound on padded width (pad unknown here; ~ok)
     itemsize = 4 if ind.tn == "float32" else 2
     boc = min(round_up(oc, 128), max(128, (tune.bn // 128) * 128))
-    # pick the largest boy (multiple of 8) whose working set fits the budget
-    for boy in (32, 16, 8, 4, 2, 1):
-        if boy > oh:
+    # row-block candidates; tune.chunk pins boy (the sweepable knob)
+    cands = (tune.chunk,) if tune.chunk else (32, 16, 8, 4, 2, 1)
+    for boy in cands:
+        if boy > oh and not tune.chunk:
             continue
+        boy = min(boy, oh)
         xr = boy + kh - 1
         x_blk = xr * pw * c * itemsize
         out_blk = boy * ow * boc * itemsize
