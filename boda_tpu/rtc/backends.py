@@ -50,13 +50,19 @@ def time_diff_method(run_once, block_on, n_iters: int = 20, warmup: int = 3) -> 
         block_on(outs if isinstance(outs, tuple) else (outs,))
     n = n_iters
     for _attempt in range(3):
-        t_n = batch(n)
-        t_2n = batch(2 * n)
-        slope = (t_2n - t_n) / n
+        # median of 3 slope estimates: a single jittered batch otherwise
+        # produces impossible near-zero (or huge) slopes that poison wisdom
+        slopes = []
+        for _ in range(3):
+            t_n = batch(n)
+            t_2n = batch(2 * n)
+            slopes.append(((t_2n - t_n) / n, t_n))
+        slopes.sort()
+        slope, t_n = slopes[1]
         if slope > 0.02 * (t_n / n):
             return slope
         n *= 4  # suspicious slope: amortize harder
-    return max(slope, t_2n / (2 * n) * 0.5, 1e-12)
+    return max(slope, 1e-12)
 
 
 class _JaxBackend(Backend):
