@@ -89,6 +89,7 @@ class RunCnet(_NetMode):
     n_iters = Field(int, default="0", help="if >0, also time n_iters forwards")
     dump_top_n = Field(int, default="5", help="print top-N of output")
     per_layer_fn = Field(str, default="", help="write per-layer times to this file")
+    write_sigs_fn = Field(str, default="", help="append this net's op sigs to a corpus")
 
     def main(self) -> None:
         import numpy as np
@@ -115,6 +116,19 @@ class RunCnet(_NetMode):
                 "img_per_sec": round(self.img / secs, 2),
                 "GF/s": round(fl / secs / 1e9, 1),
             }))
+        if self.write_sigs_fn:
+            # append op-signature corpus (ref write_sigs, rtc_fwd.cc:246)
+            import os
+
+            from ..ops.op_base import load_op_sigs, save_op_sigs
+            from ..ops.sig_of import collect_net_sigs
+            fn = self.out_path(self.write_sigs_fn)
+            have = load_op_sigs(fn) if os.path.exists(fn) else []
+            keys = {o.key() for o in have}
+            new = [o for o in collect_net_sigs(pipe) if o.key() not in keys]
+            save_op_sigs(fn, have + new)
+            print(f"write_sigs: +{len(new)} sigs -> {self.write_sigs_fn} "
+                  f"({len(have) + len(new)} total)")
         if self.per_layer_fn:
             times = self.conv_fwd.per_layer_times(ins)
             with open(self.out_path(self.per_layer_fn), "w") as f:
