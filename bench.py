@@ -26,9 +26,10 @@ TITAN_X_RESNET50_IMG_S = 250.0
 
 def main() -> int:
     # defaults: the TPU-native production-inference configuration (bf16 on the
-    # MXU). f32-fidelity runs: BENCH_TN='' BENCH_PREC=highest (1198 img/s on
-    # v5e vs 4537 img/s bf16 at batch 32; fidelity is gated separately by
-    # test_compute's 1e-5 per-layer regression).
+    # MXU, per-op tunes from the committed wisdom). f32-fidelity runs:
+    # BENCH_TN='' BENCH_PREC=highest (1198 img/s on v5e vs 5691 img/s bf16
+    # tuned at batch 32; fidelity is gated separately by test_compute's
+    # 1e-5 per-layer regression).
     model = os.environ.get("BENCH_MODEL", "resnet50")
     img = int(os.environ.get("BENCH_IMG", "32"))
     engine = os.environ.get("BENCH_ENGINE", "pallas")
