@@ -206,6 +206,67 @@ class TestDense(Mode):
             sys.exit(1)
 
 
+@register("mode", "predict_dense", help="dense multi-scale class heatmaps via fc->conv + pyramid")
+class PredictDense(Mode):
+    """The reference's dense multi-scale prediction story (cnet_predict
+    multi-scale + conv_pyra, ref caffeif.H:87-160): convert the classifier to
+    fully-convolutional (fc_to_conv), pack a scale pyramid into batch planes,
+    run once, and map per-scale per-position class scores back to image
+    coordinates via the receptive-field calculus."""
+    model = Field(str, default="", help="zoo model name")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    weights_fn = Field("filename", default="", help="caffemodel weights")
+    conv_fwd = Field("conv_fwd", default="(mode=xla)", help="engine")
+    img_fn = Field("filename", req=True, help="input image")
+    plane_sz = Field(int, default="256", help="square pyramid plane size")
+    interval = Field(int, default="3", help="scales per octave")
+    min_sz = Field(int, default="64", help="smallest pyramid dim")
+    out_node_name = Field(str, default="prob", help="dense prob node")
+    top_n = Field(int, default="3", help="top classes per scale")
+    write_heatmap = Field(str, default="", help="write argmax-prob heatmap PNG")
+
+    def main(self) -> None:
+        from ..apps.preproc import img_to_batch_np
+        from ..apps.pyramid import feat_coords_of_placement, img_pyra_pack
+        from ..frontend.surgery import fc_to_conv
+        img = Img.load(self.img_fn)
+        pack = img_pyra_pack(img, (self.plane_sz, self.plane_sz),
+                             interval=self.interval, min_sz=self.min_sz)
+        n_planes = pack.planes.shape[0]
+        pipe, in_dims = load_net(self.model, self.ptt_fn, self.weights_fn,
+                                 img=n_planes, in_sz=self.plane_sz)
+        converted = fc_to_conv(pipe)
+        d = in_dims["data"]
+        self.conv_fwd.init(pipe)
+        x = img_to_batch_np(pack.planes).astype(np.float32)
+        outs = self.conv_fwd.run_fwd({"data": NDA(d, x)}, [self.out_node_name])
+        prob = outs[self.out_node_name].data  # (planes, cls, fy, fx)
+        csi = pipe.nodes[self.out_node_name].csi
+        print(f"predict_dense: fc_to_conv converted {converted}; dense prob "
+              f"dims={outs[self.out_node_name].dims} "
+              f"stride={csi.support_stride}")
+        for i, p in enumerate(pack.placements):
+            fy0, fx0, fy1, fx1 = feat_coords_of_placement(
+                p, csi.support_stride, csi.eff_tot_pad)
+            fy1 = min(max(fy1, fy0 + 1), prob.shape[2])
+            fx1 = min(max(fx1, fx0 + 1), prob.shape[3])
+            sub = prob[p.plane, :, fy0:fy1, fx0:fx1]
+            mean_prob = sub.reshape(sub.shape[0], -1).mean(axis=1)
+            top = np.argsort(-mean_prob)[: self.top_n]
+            print(f"scale {i} ({p.sz[0]}x{p.sz[1]}): positions "
+                  f"{sub.shape[1]}x{sub.shape[2]} top="
+                  f"{[(int(c), round(float(mean_prob[c]), 4)) for c in top]}")
+        if self.write_heatmap:
+            hm = prob.max(axis=1)  # max class prob per position
+            lo, hi = float(hm.min()), float(hm.max())
+            u8 = ((hm - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
+            for pl in range(n_planes):
+                rgb = np.stack([u8[pl]] * 3, axis=2)
+                Img.from_rgb(rgb).save(
+                    self.out_path(f"{self.write_heatmap}_{pl}.png"))
+            print(f"wrote {n_planes} heatmap plane(s)")
+
+
 @register("mode", "test_upsamp", help="2x-upsampled-net vs original-net equivalence")
 class TestUpsamp(Mode):
     """ref test_upsamp_t (test_dense.cc:144): a net whose first conv uses

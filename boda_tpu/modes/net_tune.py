@@ -1,0 +1,103 @@
+"""net_tune: in-context whole-net autotuning (coordinate descent).
+
+Standalone per-op times (ops_prof) don't always transfer into the fused
+whole-net program (see NOTES_ROUND2.md): this mode optimizes per-signature
+tunes with the NET-level steady-state forward time as the objective —
+signature groups are swept one at a time, keeping each winner (coordinate
+descent), and the result is written as a wisdom file the engine consumes
+via ``wisdom_fn``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import graph  # noqa: F401
+from ..config import ConfigError, Field, Mode, register
+from ..utils.dims import NDA
+from .cnet import load_net
+
+
+@register("mode", "net_tune", help="whole-net coordinate-descent autotuner")
+class NetTune(Mode):
+    model = Field(str, default="", help="zoo model")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    img = Field(int, default="32", help="batch size")
+    conv_fwd = Field("conv_fwd",
+                     default="(mode=pallas,compute_tn=bfloat16,precision=default)",
+                     help="engine template (per_op_tune is overridden)")
+    candidates = Field((dict, "lexp"),
+                       default="(kg=(),big=(bm=512,bn=512,bk=256),xla=(use_xla=1))",
+                       help="tune candidates per signature group")
+    max_groups = Field(int, default="0", help="limit swept groups (0=all, hottest first)")
+    n_iters = Field(int, default="10", help="timing iterations per config")
+    wisdom_out_fn = Field(str, default="net-tuned.wis", help="output wisdom file")
+
+    def main(self) -> None:
+        from ..ops.kernels.gen_data import gen_data_pattern
+        from ..ops.sig_of import rtc_sig_of
+        from ..prof.wisdom import OpRun, OpWisdom, write_wisdom
+        from ..utils.lexp import Lexp
+        pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img, 0)
+        eng = self.conv_fwd
+        # group ops by rtc signature; order groups by FLOPs (hottest first)
+        groups: dict[str, list[str]] = {}
+        flops: dict[str, float] = {}
+        for op_name in pipe.topo_op_order():
+            sig = rtc_sig_of(pipe, pipe.ops[op_name])
+            if sig is None:
+                continue
+            k = sig.key()
+            groups.setdefault(k, []).append(op_name)
+            flops[k] = flops.get(k, 0.0) + pipe.op_flops(op_name)
+        order = sorted(groups, key=lambda k: -flops[k])
+        if self.max_groups:
+            order = order[: self.max_groups]
+        d = in_dims["data"]
+        x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
+        chosen: dict[str, str] = {}  # sig key -> tune key string
+
+        def measure() -> float:
+            per_op = {}
+            for k, tune_s in chosen.items():
+                for op_name in groups[k]:
+                    from ..utils.lexp import parse_lexp
+                    per_op[op_name] = parse_lexp(tune_s)
+            eng.per_op_tune = per_op
+            eng._fn_key = None  # force recompile with the new tunes
+            eng.init(pipe)
+            return eng.time_fwd({"data": x}, ["prob"], n_iters=self.n_iters)
+
+        base = measure()
+        print(f"net_tune {pipe.name}: baseline {self.img / base:.1f} img/s "
+              f"over {len(order)} signature groups")
+        best_t = base
+        cands = {k: str(v) for k, v in self.candidates.items()}
+        for gi, k in enumerate(order):
+            results = {}
+            for cname, tune_s in cands.items():
+                chosen[k] = tune_s
+                t = measure()
+                results[cname] = t
+            winner = min(results, key=results.get)
+            if results[winner] < best_t:
+                chosen[k] = cands[winner]
+                best_t = results[winner]
+            else:  # keep previous (default) tune for this group
+                chosen.pop(k, None)
+                winner = "(default)"
+            print(f"group {gi} ({flops[k] / 1e9:.2f}GF x{len(groups[k])} ops): "
+                  f"{ {c: round(self.img / t, 1) for c, t in results.items()} } "
+                  f"-> {winner}, net {self.img / best_t:.1f} img/s")
+        # write winners as wisdom (net-level objective runs)
+        from ..ops.op_base import Op
+        wis = []
+        for k, tune_s in chosen.items():
+            w = OpWisdom(Op.parse(k))
+            w.runs.append(OpRun(tune_s if tune_s != "()" else "()",
+                                "net:" + eng.device().platform, best_t))
+            wis.append(w)
+        fn = self.out_path(self.wisdom_out_fn)
+        write_wisdom(fn, wis)
+        print(f"net_tune: {self.img / base:.1f} -> {self.img / best_t:.1f} "
+              f"img/s; wrote {len(wis)} tuned sigs to {self.wisdom_out_fn}")

@@ -202,3 +202,14 @@ def test_weights_fallback(tmp_path):
     rc = main(["run_cnet", "--ptt-fn=/root/repo/testdata/nets/tinynet.prototxt",
                "--weights-fn=/no/a:/no/b", f"--boda-output-dir={tmp_path}"])
     assert rc == 1
+
+
+def test_predict_dense_mode(tmp_path, capsys):
+    rc = main(["predict_dense", "--model=mini_resnet",
+               f"--img-fn={IMGS}/test1.png", "--plane-sz=128", "--min-sz=48",
+               "--write-heatmap=hm", f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fc_to_conv converted ['fc']" in out and "scale 0" in out
+    import os
+    assert any(f.startswith("hm_") for f in os.listdir(tmp_path))
