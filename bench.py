@@ -35,12 +35,10 @@ def main() -> int:
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     prec = os.environ.get("BENCH_PREC", "default")
     ctn = os.environ.get("BENCH_TN", "bfloat16")
-    default_wis = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "testdata", "wisdom",
-                               f"{model}-{ctn or 'float32'}".replace(
-                                   "-bfloat16", "-bf16") + "-v5e.wis")
-    wisdom = os.environ.get("BENCH_WISDOM",
-                            default_wis if os.path.exists(default_wis) else "")
+    # note: committed wisdom files predate the conv->BN->ReLU chain folding;
+    # with folding, default tunes measure faster (5693 vs 5200 img/s), so no
+    # wisdom is applied unless BENCH_WISDOM is set (re-sweep in round 2).
+    wisdom = os.environ.get("BENCH_WISDOM", "")
 
     import boda_tpu.modes_all  # noqa: F401
     from boda_tpu.config import make
