@@ -118,3 +118,12 @@ def test_help():
 def test_field_order_follows_mro():
     names = [f.name for f in class_fields(ToyDog)]
     assert names == ["legs", "name", "mass"]
+
+
+def test_cfg_file_loading(tmp_path):
+    from boda_tpu.config import get_env, load_cfg_file
+    cfg = tmp_path / "cfg.xml"
+    cfg.write_text('<cfg my_var="/some/path" other="2"/>')
+    load_cfg_file(str(cfg))
+    env = get_env()
+    assert env["my_var"] == "/some/path" and env["other"] == "2"
