@@ -55,6 +55,13 @@ def conv_blocks(ind: Dims, fd: Dims, od: Dims, tune: OpTune) -> ConvBlocks | Non
     kh, kw = fd["y"], fd["x"]
     c, oc = fd["in_chan"], fd["out_chan"]
     ow, oh = od["x"], od["y"]
+    # Mosaic can relayout the in-kernel (boy,ow,c)->(boy*ow,c) collapse only
+    # when it is layout-free: c lane-aligned (each row owns whole vregs), or
+    # rows sublane-aligned with c within one lane tile. Observed failures:
+    # (4,7,160) and (4,7,32) collapses ("unsupported shape cast"); working:
+    # c%128==0 any ow, and c=64 with ow=56. Otherwise fall back to XLA.
+    if c % 128 != 0 and not (c <= 128 and ow % 8 == 0):
+        return None
     pw = ind["x"] + 2 * 8  # upper bound on padded width (pad unknown here; ~ok)
     itemsize = 4 if ind.tn == "float32" else 2
     boc = min(round_up(oc, 128), max(128, (tune.bn // 128) * 128))
