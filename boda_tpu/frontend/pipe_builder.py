@@ -176,6 +176,32 @@ def _winit_shaper(dims: Dims, fan_in: int):
     return shaper
 
 
+def _deconv_winit_shaper(dims: Dims, in_c: int, groups: int, fan_in: int):
+    """Deconv filters: our layout is (out_chan, in_chan, kh, kw) but Caffe
+    deconv blobs are stored (in_c, oc/g, kh, kw) — transpose on load instead
+    of a silent flat reshape (which scrambles data whenever in_c != oc)."""
+    base = _winit_shaper(dims, fan_in)
+
+    def shaper(data, seed: int = 0):
+        if data is None:
+            return base(None, seed)
+        arr = np.asarray(data, np.float32)
+        oc = dims["out_chan"]
+        if groups != 1 and arr.size != dims.num_elems():
+            raise FrontendError(
+                "grouped Deconvolution caffemodel blob load unsupported "
+                f"(groups={groups})")
+        if arr.size != in_c * (oc // max(groups, 1)) * dims["y"] * dims["x"] \
+                and groups == 1:
+            raise FrontendError(
+                f"deconv blob size {arr.size} != expected "
+                f"{in_c}x{oc}x{dims['y']}x{dims['x']}")
+        if groups == 1:
+            arr = arr.reshape(in_c, oc, dims["y"], dims["x"]).transpose(1, 0, 2, 3)
+        return NDA(dims, np.ascontiguousarray(arr.reshape(dims.shape)))
+    return shaper
+
+
 def _zero_shaper(dims: Dims):
     def shaper(data, seed: int = 0):
         if data is None:
@@ -203,7 +229,10 @@ def _make_op(pipe: ConvPipe, lname: str, ltype: str, lmsg: dict,
         params = {"kern_sz": k, "stride": s, "pad": p, "groups": g}
         in_c = _chan_of(pipe, bots[0])
         fd = Dims.of(out_chan=oc, in_chan=in_c // g, y=k[0], x=k[1])
-        wblobs = [(f"{lname}__filts", _winit_shaper(fd, (in_c // g) * k[0] * k[1])),
+        fan_in = (in_c // g) * k[0] * k[1]
+        shaper = (_deconv_winit_shaper(fd, in_c, g, fan_in)
+                  if ltype == "Deconvolution" else _winit_shaper(fd, fan_in))
+        wblobs = [(f"{lname}__filts", shaper),
                   (f"{lname}__biases", _zero_shaper(Dims.of(out_chan=oc)))]
     elif ltype == "InnerProduct":
         ipp = get1(lmsg, "inner_product_param", {})

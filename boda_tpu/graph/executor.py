@@ -139,6 +139,7 @@ class FwdEngine:
         self.det_drop_seed = seed
         if self.pipe is not None:
             self._fn = None
+            self._fn_key = None  # force _build_fn on next run (compile_for caches by key)
             self.init(self.pipe)
 
     def get_info_log(self) -> str:

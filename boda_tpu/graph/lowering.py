@@ -146,10 +146,11 @@ def _lower_pool(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
     pad_x = (p[1], max(0, (ox - 1) * s[1] + k[1] - ix - p[1]))
 
     if avg:
-        # Caffe AVE divisor: window clipped to the *padded* image bounds
+        # AVE divisor: only non-padding pixels count (ref test/rtc/pool.cucl
+        # "to match caffe, only non-padding pixels are considered")
         def divisor(o, in_sz, kk, ss, pp):
             st = o * ss - pp
-            en = min(st + kk, in_sz + pp)
+            en = min(st + kk, in_sz)
             st = max(st, 0)
             return en - st
         dy = jnp.array([divisor(o, iy, k[0], s[0], p[0]) for o in range(oy)],

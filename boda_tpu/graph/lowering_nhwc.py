@@ -214,9 +214,10 @@ def _nhwc_pool(pipe, op, ctx, tune, info_log):
     if avg:
         import numpy as np
 
+        # non-padding pixels only (ref test/rtc/pool.cucl avg_pool_sz)
         def divisor(o, in_sz, kk, ss, pp):
             st = o * ss - pp
-            en = min(st + kk, in_sz + pp)
+            en = min(st + kk, in_sz)
             return en - max(st, 0)
         dy = np.array([divisor(o, iy, k[0], s[0], p[0]) for o in range(oy)],
                       np.float32)

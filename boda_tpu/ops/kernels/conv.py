@@ -65,6 +65,8 @@ def conv_blocks(ind: Dims, fd: Dims, od: Dims, tune: OpTune) -> ConvBlocks | Non
     pw = ind["x"] + 2 * 8  # upper bound on padded width (pad unknown here; ~ok)
     itemsize = 4 if ind.tn == "float32" else 2
     boc = min(round_up(oc, 128), max(128, (tune.bn // 128) * 128))
+    while round_up(oc, 128) % boc:  # keep boc a divisor of the padded oc
+        boc -= 128
     # row-block candidates; tune.chunk pins boy (the sweepable knob)
     cands = (tune.chunk,) if tune.chunk else (32, 16, 8, 4, 2, 1)
     for boy in cands:
@@ -121,9 +123,14 @@ def pallas_conv2d_nhwc(x, w, bias, *, stride=(1, 1), pad=(0, 0),
     row_idx = (jnp.arange(r)[:, None] * boy + jnp.arange(xr)[None, :])  # (R, XR)
     xg = xp[:, row_idx]  # (N, R, XR, PW, C)
     xg = xg.reshape(n * r, xr, pw, c)
-    ocp = round_up(oc, min(boc, 128) if boc % 128 else boc)
     ocp = round_up(oc, 128)
     boc = min(boc, ocp)
+    # grid is ocp // boc: boc must divide ocp or trailing channels would
+    # never be written (uninitialized output). Shrink to the largest
+    # 128-multiple divisor (boc and ocp are both 128-multiples, so 128
+    # always terminates the loop).
+    while ocp % boc:
+        boc -= 128
     if ocp != oc:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, ocp - oc)))
         bias = jnp.pad(bias, (0, ocp - oc))

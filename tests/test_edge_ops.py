@@ -98,9 +98,10 @@ def test_sigmoid_tanh_eltwise_max():
 
 
 def _caffe_avg_pool_ref(x, k, s, p):
-    """Explicit Caffe AVE pooling semantics (ref caffe pooling_layer):
-    sum over the window clipped to real bounds; divide by the window area
-    clipped to the PADDED bounds (torch's count_include_pad differs)."""
+    """Explicit AVE pooling semantics of the reference kernel (ref
+    test/rtc/pool.cucl: "to match caffe, only non-padding pixels are
+    considered"): sum AND divisor both count only real (non-padding)
+    pixels — torch's count_include_pad=False."""
     n, c, iy, ix = x.shape
     oy = -(-(iy + 2 * p - k) // s) + 1
     if (oy - 1) * s >= iy + p:
@@ -110,11 +111,9 @@ def _caffe_avg_pool_ref(x, k, s, p):
     for yo in range(oy):
         for xo in range(ox):
             y0, x0 = yo * s - p, xo * s - p
-            y1 = min(y0 + k, iy + p)
-            x1 = min(x0 + k, ix + p)
-            area = (y1 - max(y0, 0)) * (x1 - max(x0, 0))
             ry0, rx0 = max(y0, 0), max(x0, 0)
-            ry1, rx1 = min(y1, iy), min(x1, ix)
+            ry1, rx1 = min(y0 + k, iy), min(x0 + k, ix)
+            area = (ry1 - ry0) * (rx1 - rx0)
             out[:, :, yo, xo] = x[:, :, ry0:ry1, rx0:rx1].sum(axis=(2, 3)) / area
     return out
 
