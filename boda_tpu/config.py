@@ -145,6 +145,7 @@ def default_cfg_init(repo_root: Optional[str] = None) -> None:
     _ENV.setdefault("boda_test_dir", os.path.join(repo_root, "testdata"))
     _ENV.setdefault("boda_output_dir", ".")
     _ENV.setdefault("models_dir", os.path.join(repo_root, "models"))
+    _ENV.setdefault("ref_nets_dir", "/root/reference/nets")
     cfg = os.path.join(repo_root, "boda_tpu_cfg.xml")
     if os.path.exists(cfg):
         load_cfg_file(cfg)

@@ -41,10 +41,12 @@ def _pair_param(msg: dict, base: str, default: int) -> tuple[int, int]:
 _ELTWISE_OPS = {0: "prod", 1: "sum", 2: "max", "PROD": "prod", "SUM": "sum",
                 "MAX": "max"}
 _POOL_AVE = {1, "AVE"}
-_SKIP_TYPES = {"Data", "HDF5Data", "ImageData", "WindowData", "MemoryData",
-               "DummyData", "Silence", "Python", "Input", "Accuracy", "DATA",
-               "HDF5_DATA", "IMAGE_DATA", "WINDOW_DATA", "MEMORY_DATA",
-               "SILENCE", "ACCURACY"}
+_SKIP_TYPES = {"Data", "AnnotatedData", "HDF5Data", "ImageData", "WindowData",
+               "MemoryData", "DummyData", "Silence", "Python", "Input",
+               "Accuracy", "DATA", "HDF5_DATA", "IMAGE_DATA", "WINDOW_DATA",
+               "MEMORY_DATA", "SILENCE", "ACCURACY",
+               "MultiBoxLoss"}  # loss-only layer, ignored like ref loss layers
+_DATA_TYPES = {"Data", "AnnotatedData", "DATA", "ImageData", "IMAGE_DATA"}
 
 _V1_NAME_MAP = {  # V1 enum identifier -> canonical type
     "CONVOLUTION": "Convolution", "DECONVOLUTION": "Deconvolution",
@@ -81,6 +83,13 @@ def pipe_from_netparam(npm: dict, weights: dict | None = None, img: int = 0,
     cur: dict[str, str] = {}  # caffe blob name -> current SSA node name
     rng_seed = seed
 
+    # if every data layer is TRAIN-phase (e.g. ref nets/rrc/train_val), keep
+    # it as the input source instead of filtering it with the TRAIN ops
+    data_phases = [_layer_phase(lm) for lm in layers
+                   if _V1_NAME_MAP.get(_s(get1(lm, "type", "")),
+                                       _s(get1(lm, "type", ""))) in _DATA_TYPES]
+    train_data_only = bool(data_phases) and all(p == "TRAIN" for p in data_phases)
+
     for lmsg in layers:
         lname = _s(get1(lmsg, "name", ""))
         ltype = _s(get1(lmsg, "type", ""))
@@ -88,7 +97,7 @@ def pipe_from_netparam(npm: dict, weights: dict | None = None, img: int = 0,
         bots = [_s(b) for b in getl(lmsg, "bottom")]
         tops = [_s(t) for t in getl(lmsg, "top")]
         phase = _layer_phase(lmsg)
-        if phase == "TRAIN":
+        if phase == "TRAIN" and not (train_data_only and ltype in _DATA_TYPES):
             continue
         if ltype == "Input":
             shape = getl(get1(lmsg, "input_param", {}), "shape")
@@ -100,6 +109,28 @@ def pipe_from_netparam(npm: dict, weights: dict | None = None, img: int = 0,
                 pipe.get_or_make_node(t).dims = in_dims[t]
             continue
         if ltype in _SKIP_TYPES:
+            if ltype in _DATA_TYPES and tops and tops[0] not in in_dims:
+                # synthesize the data input node from the data layer, like the
+                # reference (ref caffepb.cc:280-304: dims from batch_size +
+                # transform_param.crop_size, 3 chans, then in_dims override)
+                dp = get1(lmsg, "data_param", {})
+                tp = get1(lmsg, "transform_param", {})
+                batch = int(get1(dp, "batch_size", 1))
+                crop = int(get1(tp, "crop_size",
+                                get1(dp, "crop_size", 0)))  # V0 kept it in dp
+                cy = cx = crop
+                if not crop:  # SSD-style nets size via transform resize_param
+                    rp = get1(tp, "resize_param", {})
+                    cy = int(get1(rp, "height", 0))
+                    cx = int(get1(rp, "width", 0))
+                if cy and cx:
+                    d = _act_dims([batch, 3, cy, cx], img, in_sz)
+                    in_dims[tops[0]] = d
+                    pipe.get_or_make_node(tops[0]).dims = d
+                    if len(tops) > 1:  # label node (ref data_label_node)
+                        ld = Dims.of(img=d["img"], tn="float32")
+                        in_dims[tops[1]] = ld
+                        pipe.get_or_make_node(tops[1]).dims = ld
             for t in tops:  # data layers feed nodes that become net inputs
                 if t not in cur and t not in in_dims and ltype not in \
                         ("Silence", "SILENCE", "Accuracy", "ACCURACY"):
@@ -117,6 +148,13 @@ def pipe_from_netparam(npm: dict, weights: dict | None = None, img: int = 0,
             else:
                 mapped_tops.append(t)
                 cur[t] = t
+
+        if ltype == "SoftmaxWithLoss" and len(mapped_tops) < 2:
+            # caffe declares 0/1 tops for loss layers (ref caffepb.cc:262);
+            # our op signature is tops=[loss, prob]
+            if not mapped_tops:
+                mapped_tops.append(f"{lname}__loss")
+            mapped_tops.append(f"{lname}__prob")
 
         op, wblobs = _make_op(pipe, lname, ltype, lmsg, mapped_bots, mapped_tops)
         # attach weights (stored caffemodel blobs or deterministic init)
@@ -210,6 +248,14 @@ def _zero_shaper(dims: Dims):
     return shaper
 
 
+def _const_shaper(dims: Dims, value: float):
+    def shaper(data, seed: int = 0):
+        if data is None:
+            data = np.full(dims.shape, value, np.float32)
+        return NDA(dims, np.asarray(data, np.float32).reshape(dims.shape))
+    return shaper
+
+
 def _make_op(pipe: ConvPipe, lname: str, ltype: str, lmsg: dict,
              bots: list[str], tops: list[str]):
     """Build the ConvOp (+ the list of (weight node name, shaper))."""
@@ -226,7 +272,12 @@ def _make_op(pipe: ConvPipe, lname: str, ltype: str, lmsg: dict,
         s = _pair_param(cp, "stride", 1)
         p = _pair_param(cp, "pad", 0)
         g = int(get1(cp, "group", 1))
+        d = _pair_param(cp, "dilation", 1)
         params = {"kern_sz": k, "stride": s, "pad": p, "groups": g}
+        if d != (1, 1):
+            params["dilation"] = d
+        if not get1(cp, "bias_term", True):
+            params["no_bias"] = True
         in_c = _chan_of(pipe, bots[0])
         fd = Dims.of(out_chan=oc, in_chan=in_c // g, y=k[0], x=k[1])
         fan_in = (in_c // g) * k[0] * k[1]
@@ -261,7 +312,56 @@ def _make_op(pipe: ConvPipe, lname: str, ltype: str, lmsg: dict,
     elif ltype == "Concat":
         cp = get1(lmsg, "concat_param", {})
         axis = int(get1(cp, "axis", get1(cp, "concat_dim", 1)))
-        params = {"axis_name": ("img", "chan", "y", "x")[axis]}
+        params = {"axis": axis}
+    elif ltype == "Permute":
+        pp = get1(lmsg, "permute_param", {})
+        order = [int(o) for o in getl(pp, "order")]
+        params = {"order": order or [0, 1, 2, 3]}
+    elif ltype == "Flatten":
+        fp = get1(lmsg, "flatten_param", {})
+        params = {"axis": int(get1(fp, "axis", 1)),
+                  "end_axis": int(get1(fp, "end_axis", -1))}
+    elif ltype == "Reshape":
+        rp = get1(lmsg, "reshape_param", {})
+        shape = get1(rp, "shape", {})
+        params = {"shape": [int(d) for d in getl(shape, "dim")]}
+    elif ltype == "Normalize":
+        npr = get1(lmsg, "norm_param", {})
+        shared = bool(get1(npr, "channel_shared", False))
+        c = 1 if shared else _chan_of(pipe, bots[0])
+        fill = float(get1(get1(npr, "scale_filler", {}), "value", 1.0))
+        params = {"across_spatial": bool(get1(npr, "across_spatial", True)),
+                  "eps": float(get1(npr, "eps", 1e-10))}
+        wblobs = [(f"{lname}__scales",
+                   _const_shaper(Dims.of(out_chan=c), fill))]
+    elif ltype == "PriorBox":
+        pb = get1(lmsg, "prior_box_param", {})
+        params = {
+            "min_sizes": [float(v) for v in getl(pb, "min_size")],
+            "max_sizes": [float(v) for v in getl(pb, "max_size")],
+            "aspect_ratios": [float(v) for v in getl(pb, "aspect_ratio")],
+            "flip": bool(get1(pb, "flip", True)),
+            "clip": bool(get1(pb, "clip", False)),
+            "variance": [float(v) for v in getl(pb, "variance")],
+            "step": float(get1(pb, "step", 0)),
+            "step_h": float(get1(pb, "step_h", 0)),
+            "step_w": float(get1(pb, "step_w", 0)),
+            "offset": float(get1(pb, "offset", 0.5)),
+        }
+    elif ltype == "DetectionOutput":
+        dop = get1(lmsg, "detection_output_param", {})
+        nms = get1(dop, "nms_param", {})
+        params = {
+            "num_classes": int(get1(dop, "num_classes")),
+            "share_location": bool(get1(dop, "share_location", True)),
+            "background_label_id": int(get1(dop, "background_label_id", 0)),
+            "nms_threshold": float(get1(nms, "nms_threshold", 0.3)),
+            "top_k": int(get1(nms, "top_k", 400)),
+            "code_type": _s(get1(dop, "code_type", "CORNER")),
+            "keep_top_k": int(get1(dop, "keep_top_k", 200)),
+            "confidence_threshold": float(
+                get1(dop, "confidence_threshold", 0.01)),
+        }
     elif ltype == "Eltwise":
         ep = get1(lmsg, "eltwise_param", {})
         op_v = get1(ep, "operation", "SUM")
@@ -280,7 +380,10 @@ def _make_op(pipe: ConvPipe, lname: str, ltype: str, lmsg: dict,
         wblobs = [(f"{lname}__scales", _ones_shaper(Dims.of(out_chan=c)))]
         if get1(sp, "bias_term", False):
             wblobs.append((f"{lname}__biases", _zero_shaper(Dims.of(out_chan=c))))
-    elif ltype in ("ReLU", "Sigmoid", "TanH", "Softmax", "Split"):
+    elif ltype == "Softmax":
+        sp = get1(lmsg, "softmax_param", {})
+        params = {"axis": int(get1(sp, "axis", 1))}
+    elif ltype in ("ReLU", "Sigmoid", "TanH", "Split"):
         params = {}
     elif ltype == "SoftmaxWithLoss":
         params = {}

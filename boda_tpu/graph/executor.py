@@ -526,6 +526,9 @@ class PallasFwd(FwdEngine):
             import jax.numpy as jnp
             fwd = pipe.ops[op.p("fwd_op")]
             from .lowering_nhwc import lower_op_nhwc
+            bck_fn = self._lower_bck_conv_pallas(pipe, op, fwd, ctx)
+            if bck_fn is not None:
+                return bck_fn
             xla_tune = dataclasses.replace(self.op_tune(fwd.name), use_xla=True)
             r = lower_op_nhwc(pipe, fwd, ctx, xla_tune, self._info_log)
             if r is None:
@@ -571,6 +574,57 @@ class PallasFwd(FwdEngine):
         self._weight_preps.update(preps)
         return fn
 
+    def _lower_bck_conv_pallas(self, pipe: ConvPipe, op, fwd, ctx):
+        """Explicit generated backward conv kernels (the BckConv analog, ref
+        test/rtc/bconv.cucl + cnn_codegen.cc:44-136) for the eligible
+        stride-1/groups-1/no-dilation case. Returns None to fall back to the
+        vjp-of-the-XLA-lowering path."""
+        if fwd.type != "Convolution" or fwd.p("fused_relu", False):
+            return None
+        tune = self.op_tune(fwd.name)
+        if tune.use_xla or fwd.stride() != (1, 1) or \
+                fwd.dilation() != (1, 1) or int(fwd.p("groups", 1)) != 1:
+            return None
+        if op.p("top_has_grad") != [fwd.tops[0]]:
+            return None
+        import jax.numpy as jnp
+
+        from .autodiff import _wants_grad
+        from ..ops.cnn_variants import ctx_interp
+        from ..ops.kernels.bconv import (bck_in_blocks, pallas_conv2d_bck_in,
+                                         pallas_conv2d_bck_filts)
+        xd = pipe.must_dims(fwd.bots[0])
+        fd = pipe.must_dims(fwd.bots[1])
+        dyd = pipe.must_dims(fwd.tops[0])
+        grad_pos = [i for i, b in enumerate(fwd.bots)
+                    if _wants_grad(pipe, op, b)]
+        blocks = bck_in_blocks(dyd, fd, xd, tune)
+        if blocks is None and 0 in grad_pos:
+            return None  # in-grad shape infeasible for the Pallas conv
+        pad = fwd.pad()
+        n_fwd_bots = len(fwd.bots)
+        prec = tune.precision
+        self._info_log.append(f"{op.name}: pallas-bck-conv {blocks}")
+
+        def fn(*args):
+            x, w = args[0], args[1]  # NHWC activation, HWIO prepped weights
+            dy = args[n_fwd_bots].astype(x.dtype)
+            outs = []
+            for pos in grad_pos:
+                if pos == 0:
+                    outs.append(pallas_conv2d_bck_in(
+                        dy, w, pad=pad, blocks=blocks, precision=prec,
+                        interpret=ctx_interp()).astype(x.dtype))
+                elif pos == 1:
+                    outs.append(pallas_conv2d_bck_filts(
+                        x, dy, pad=pad, tune=tune, precision=prec,
+                        interpret=ctx_interp()).astype(w.dtype))
+                else:
+                    outs.append(jnp.sum(dy.astype(jnp.float32),
+                                        axis=(0, 1, 2)).astype(args[pos].dtype))
+            return tuple(outs)
+        return fn
+
     def _upload_weights(self) -> None:
         import jax
         dev = self.device()
@@ -601,9 +655,10 @@ class PallasFwd(FwdEngine):
         return out
 
     def _is_4d(self, node: str) -> bool:
+        # canonical NCHW name ORDER required: permuted/detection nodes keep
+        # logical layout and must not be NHWC-transposed at the boundaries
         d = self.pipe.nodes[node].dims
-        return d is not None and "y" in d.names and "chan" in d.names \
-            and "img" in d.names
+        return d is not None and d.names == ("img", "chan", "y", "x")
 
     def build_raw_fn(self, out_names: list[str]) -> Callable:
         if self.layout != "nhwc":

@@ -68,6 +68,7 @@ def lower_op(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
 @lower_rule("Convolution")
 def _lower_conv(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
     s, p = op.stride(), op.pad()
+    dil = op.dilation()
     groups = int(op.p("groups", 1))
     relu = bool(op.p("fused_relu", False))
 
@@ -75,7 +76,7 @@ def _lower_conv(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
         out = lax.conv_general_dilated(
             x, w, window_strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=groups,
+            feature_group_count=groups, rhs_dilation=dil,
             precision=ctx.prec,
             preferred_element_type=jnp.float32,
         )
@@ -105,20 +106,22 @@ def _lower_ip(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
 def _lower_deconv(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
     s, p = op.stride(), op.pad()
     k = op.kern_sz()
+    groups = int(op.p("groups", 1))
     # Caffe deconv == gradient of conv wrt its input (spreading, ref
-    # conv_util.cc Spreading) == transposed conv. lax.conv_transpose padding
-    # is that of the underlying dilated forward conv: k-1-p per side gives
-    # the Caffe output size (in-1)*s + k - 2p. Our weights (out_chan,
-    # in_chan, kh, kw) are the forward kernel's (I, O, kh, kw).
+    # conv_util.cc Spreading) == transposed conv, expressed directly as an
+    # input-dilated forward conv (supports groups, e.g. the reference rrc
+    # net's depthwise bilinear upsamples): spatial-flip the kernel, dilate
+    # the input by the stride, pad k-1-p per side -> out (in-1)*s + k - 2p.
+    # Our logical weights are (out_chan, in_chan/g, kh, kw) = OIHW already.
     tpad = [(k[0] - 1 - p[0], k[0] - 1 - p[0]),
             (k[1] - 1 - p[1], k[1] - 1 - p[1])]
 
     def fn(x, w, b):
-        out = lax.conv_transpose(
-            x, w, strides=s, padding=tpad,
-            dimension_numbers=("NCHW", "IOHW", "NCHW"),
-            transpose_kernel=True,
-            precision=ctx.prec,
+        out = lax.conv_general_dilated(
+            x, w[:, :, ::-1, ::-1], window_strides=(1, 1), padding=tpad,
+            lhs_dilation=s, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=groups, precision=ctx.prec,
+            preferred_element_type=jnp.float32,
         )
         out = out + b.reshape(1, -1, 1, 1)
         return (out.astype(x.dtype),)
@@ -276,8 +279,9 @@ def _lower_dropout(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
 
 @lower_rule("Concat")
 def _lower_concat(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
-    axis_name = op.p("axis_name", "chan")
-    axis = pipe.must_dims(op.bots[0]).index(axis_name)
+    from .pipe import _concat_axis_name
+    d0 = pipe.must_dims(op.bots[0])
+    axis = d0.index(_concat_axis_name(op, d0))
 
     def fn(*xs):
         return (jnp.concatenate(xs, axis=axis),)
@@ -325,8 +329,10 @@ def _softmax(x, axis=1):
 
 @lower_rule("Softmax")
 def _lower_softmax(pipe, op, ctx):
+    axis = int(op.p("axis", 1))
+
     def fn(x):
-        return (_softmax(x, axis=1).astype(x.dtype),)
+        return (_softmax(x, axis=axis).astype(x.dtype),)
     return fn
 
 

@@ -64,6 +64,7 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
     from ..ops.kernels.sgemm import pallas_matmul, pick_matmul_blocks
     s, p = op.stride(), op.pad()
     k = op.kern_sz()
+    dil = op.dilation()
     groups = int(op.p("groups", 1))
     relu = bool(op.p("fused_relu", False))
     ind = pipe.must_dims(op.bots[0])
@@ -72,6 +73,9 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
     preps = {op.bots[1]: (lambda w: w.transpose(2, 3, 1, 0),      # OIHW->HWIO
                           lambda g: g.transpose(3, 2, 0, 1))}    # HWIO->OIHW
 
+    if dil != (1, 1):  # atrous conv (SSD fc6): XLA path only for now
+        import dataclasses
+        tune = dataclasses.replace(tune, use_xla=True)
     if groups == 1 and not tune.use_xla and k == (1, 1) and p == (0, 0) \
             and tune.use_k1conv:
         M = od["img"] * od["y"] * od["x"]
@@ -102,7 +106,8 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
                                        interpret=ctx_interp()),)
         return fn, preps
 
-    if groups == 1 and not tune.use_xla and tune.use_s2d and s != (1, 1):
+    if groups == 1 and not tune.use_xla and tune.use_s2d and s != (1, 1) \
+            and k != (1, 1):  # 1x1 strided = subsample; XLA wins there
         # strided conv -> space-to-depth fold + stride-1 Pallas kernel
         from ..utils.dims import Dims
         from ..ops.kernels.conv import space_to_depth_conv
@@ -129,7 +134,7 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
         out = lax.conv_general_dilated(
             x, w, window_strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=groups, precision=prec,
+            feature_group_count=groups, rhs_dilation=dil, precision=prec,
             preferred_element_type=jnp.float32)
         out = out + b.reshape(1, 1, 1, -1)
         if relu:
@@ -142,18 +147,21 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
 def _nhwc_deconv(pipe, op, ctx, tune, info_log):
     s, p = op.stride(), op.pad()
     k = op.kern_sz()
+    groups = int(op.p("groups", 1))
     tpad = [(k[0] - 1 - p[0], k[0] - 1 - p[0]),
             (k[1] - 1 - p[1], k[1] - 1 - p[1])]
     preps = {op.bots[1]: (lambda w: w.transpose(2, 3, 1, 0),
                           lambda g: g.transpose(3, 2, 0, 1))}
-    # prepped weight is (kh, kw, in_chan, out_chan); as the forward kernel of
-    # the transpose that's (kh, kw, O, I) -> spec HWOI (see lowering.py note)
+    # prepped weight is (kh, kw, in_chan/g, out_chan) = HWIO; deconv = input-
+    # dilated forward conv on the spatially-flipped kernel (see lowering.py)
 
     def fn(x, w, b):
-        out = lax.conv_transpose(
-            x, w, strides=s, padding=tpad,
-            dimension_numbers=("NHWC", "HWOI", "NHWC"), transpose_kernel=True,
-            precision=PRECISIONS[tune.precision])
+        out = lax.conv_general_dilated(
+            x, w[::-1, ::-1, :, :], window_strides=(1, 1), padding=tpad,
+            lhs_dilation=s, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            precision=PRECISIONS[tune.precision],
+            preferred_element_type=jnp.float32)
         return ((out + b.reshape(1, 1, 1, -1)).astype(x.dtype),)
     return fn, preps
 
@@ -328,8 +336,13 @@ def _nhwc_split(pipe, op, ctx, tune, info_log):
 
 @nhwc_rule("Concat")
 def _nhwc_concat(pipe, op, ctx, tune, info_log):
-    axis_name = op.p("axis_name", "chan")
-    axis = {"img": 0, "y": 1, "x": 2, "chan": 3}[axis_name]
+    from .pipe import _concat_axis_name
+    d0 = pipe.must_dims(op.bots[0])
+    axis_name = _concat_axis_name(op, d0)
+    if d0.names == ("img", "chan", "y", "x"):  # physically NHWC
+        axis = {"img": 0, "y": 1, "x": 2, "chan": 3}[axis_name]
+    else:  # non-canonical nodes keep logical layout
+        axis = d0.index(axis_name)
 
     def fn(*xs):
         return (jnp.concatenate(xs, axis=axis),)
@@ -359,7 +372,11 @@ def _nhwc_eltwise(pipe, op, ctx, tune, info_log):
 @nhwc_rule("Softmax")
 def _nhwc_softmax(pipe, op, ctx, tune, info_log):
     ind = pipe.must_dims(op.bots[0])
-    axis = 3 if "y" in ind.names else 1
+    laxis = int(op.p("axis", 1))
+    if ind.names == ("img", "chan", "y", "x"):  # physically NHWC
+        axis = {0: 0, 1: 3, 2: 1, 3: 2}[laxis]
+    else:  # non-canonical nodes keep logical layout
+        axis = laxis
     return _no_preps(lambda x: (_softmax(x, axis=axis).astype(x.dtype),))
 
 

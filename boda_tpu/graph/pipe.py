@@ -70,6 +70,14 @@ class ConvOp:
     def pad(self):
         return self.params.get("pad", (0, 0))
 
+    def dilation(self):
+        return self.params.get("dilation", (1, 1))
+
+    def eff_kern_sz(self):
+        """Dilated (effective) kernel extent: (k-1)*d + 1 per axis."""
+        k, d = self.kern_sz(), self.dilation()
+        return ((k[0] - 1) * d[0] + 1, (k[1] - 1) * d[1] + 1)
+
     def __str__(self):
         return (f"{self.type}[{self.name}] bots={self.bots} tops={self.tops} "
                 f"params={self.params}")
@@ -215,7 +223,7 @@ class ConvPipe:
                 continue
             in_csi = self.nodes[data_bots[0]].csi
             if op.type in ("Convolution", "Pooling"):
-                k, s, p = op.kern_sz(), op.stride(), op.pad()
+                k, s, p = op.eff_kern_sz(), op.stride(), op.pad()
                 csi = SupportInfo(
                     support_sz=tuple(in_csi.support_sz[i]
                                      + (k[i] - 1) * in_csi.support_stride[i]
@@ -282,8 +290,9 @@ def _calc_conv(pipe: ConvPipe, op: ConvOp) -> list[Dims]:
     if fd["in_chan"] * groups != ind["chan"]:
         raise PipeError(f"op {op.name!r}: filts in_chan {fd['in_chan']}*groups {groups} "
                         f"!= input chan {ind['chan']}")
-    oy = _conv_out_sz(ind["y"], k[0], s[0], p[0], False)
-    ox = _conv_out_sz(ind["x"], k[1], s[1], p[1], False)
+    ek = op.eff_kern_sz()  # dilation-aware (atrous conv, e.g. SSD fc6)
+    oy = _conv_out_sz(ind["y"], ek[0], s[0], p[0], False)
+    ox = _conv_out_sz(ind["x"], ek[1], s[1], p[1], False)
     return [Dims.of(img=ind["img"], chan=fd["out_chan"], y=oy, x=ox, tn=ind.tn)]
 
 
@@ -322,11 +331,20 @@ def _calc_ip(pipe: ConvPipe, op: ConvOp) -> list[Dims]:
     return [Dims.of(img=ind["img"], chan=fd["out_chan"], tn=ind.tn)]
 
 
+def _concat_axis_name(op: ConvOp, d0: "Dims") -> str:
+    # prefer explicit index (needed for non-canonical dims, e.g. SSD
+    # priorbox concat along axis 2 of (img,pv,pbox)); fall back to name
+    axis = op.p("axis", None)
+    if axis is not None:
+        return d0.names[int(axis) % len(d0)]
+    return op.p("axis_name", "chan")
+
+
 @_op_info("Concat", min_bots=1, max_bots=-1)
 def _calc_concat(pipe: ConvPipe, op: ConvOp) -> list[Dims]:
     ds = [pipe.must_dims(b) for b in op.bots]
-    axis_name = op.p("axis_name", "chan")
     d0 = ds[0]
+    axis_name = _concat_axis_name(op, d0)
     tot = sum(d[axis_name] for d in ds)
     for d in ds[1:]:
         if not d.drop(axis_name).matches(d0.drop(axis_name)):

@@ -28,7 +28,7 @@ class ServeBench(Mode):
     img_fns = Field((list, "filename"), req=True, help="jpeg pool to cycle")
     img = Field(int, default="32", help="batch size")
     n_batches = Field(int, default="20", help="batches to serve")
-    n_threads = Field(int, default="4", help="native loader threads")
+    n_threads = Field(int, default="0", help="native loader threads (0=ncpu)")
     pipeline_depth = Field(int, default="2", help="in-flight batches")
     out_node_name = Field(str, default="prob", help="output node")
 

@@ -134,7 +134,7 @@ class TestCmds(Mode):
         if expect_err is not None:
             if err_msg is None:
                 return False, f"expected error {expect_err!r}, got none"
-            if expect_err not in err_msg:
+            if expect_err != err_msg:  # exact match (ref test_nesi.cc:546-560)
                 return False, f"expected error {expect_err!r}, got {err_msg!r}"
             return True, ""
         if err_msg is not None:

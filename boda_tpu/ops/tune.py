@@ -25,8 +25,13 @@ class OpTune:
     # variant enables (the k1conv/tconv/ipconv analog switches)
     use_k1conv: bool = True
     use_iconv: bool = True
-    # strided conv via space-to-depth fold (correct everywhere; measured
-    # slower than XLA's strided conv on v5e, so off by default — autotune it)
+    # strided conv via space-to-depth fold. STANDALONE-op timing says 1.5x
+    # (stem 7x7s2) to 4.6x (3x3s2) faster than XLA on v5e for k>1 — but the
+    # fused whole-net measures SLOWER with it on everywhere (7.46 vs 5.56
+    # ms/fwd resnet50 bf16: the fold's pad/reshape/transpose steals fusion
+    # from neighbors). Default off; net_tune selects it per-op where it wins
+    # in context. The variant policy only allows it for k>1 (1x1 stride-2 is
+    # a pure subsample — XLA wins there standalone too).
     use_s2d: bool = False
     # precision / layout
     acc_tn: str = "float32"   # accumulation dtype (always f32 on MXU)

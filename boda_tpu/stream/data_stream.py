@@ -7,9 +7,10 @@ pipelines (``type_id="pipe"``). Implemented fresh: file/csv/text/image
 sources, start-stop-skip, stamp, crop, merge/ts-sync transforms, csv/text/
 block-file/png/null sinks, and a compact binary block-stream container.
 
-Format-specific streams the reference vendors (ffmpeg/mxnet/pcap/rosbag/
-velodyne) are represented by the velodyne packet decoder (pure python) and
-clean feature-gated errors for the rest.
+Format-specific streams the reference vendors: velodyne packet decode
+(stream/velodyne.py), pcap src/sink (ref data-stream-pcap.cc) and mxnet-brick
+RecordIO src/sink (ref data-stream-mxnet.cc) are implemented pure-python;
+ffmpeg/rosbag remain feature-gated errors (no codecs in this build).
 """
 
 from __future__ import annotations
@@ -417,9 +418,211 @@ class AddImgPts(DataStream):
         return blk
 
 
+# -- pcap (packet capture) src/sink ------------------------------------------------------
+# format per the libpcap file layout (ref src/data-stream-pcap.cc:45-107:
+# pcap_hdr_t/pcaprec_hdr_t; UDP-payload extraction :140-163)
+
+_PCAP_MAGIC = 0xA1B2C3D4
+
+
+def _ip_cksum(data: bytes) -> int:
+    """16-bit ones-complement checksum (ref in_cksum, data-stream-pcap.cc:15)."""
+    if len(data) % 2:
+        data += b"\0"
+    s = sum(struct.unpack(f"!{len(data) // 2}H", data))
+    s = (s >> 16) + (s & 0xFFFF)
+    s += s >> 16
+    return (~s) & 0xFFFF
+
+
+@register("data_stream", "pcap-src",
+          help="pcap file packets (optionally extract UDP payloads)")
+class PcapSrc(DataStream):
+    fn = Field("filename", req=True, help="input .pcap file")
+    extract_udp_payload = Field(bool, default="1",
+                                help="assume eth+ipv4+udp; emit udp payloads")
+    udp_dest_port = Field(int, default="0",
+                          help="if nonzero, keep only this udp dest port")
+
+    def start(self) -> None:
+        self._f = open(self.fn, "rb")
+        hdr = self._f.read(24)
+        if len(hdr) < 24:
+            raise ConfigError(f"pcap-src: {self.fn!r}: truncated pcap header")
+        magic = struct.unpack("<I", hdr[:4])[0]
+        if magic == _PCAP_MAGIC:
+            self._endian = "<"
+        elif magic == struct.unpack(">I", struct.pack("<I", _PCAP_MAGIC))[0]:
+            self._endian = ">"
+        else:
+            raise ConfigError(f"pcap-src: {self.fn!r}: bad magic {magic:#x}")
+        self._ix = 0
+
+    def read(self):
+        while True:
+            rh = self._f.read(16)
+            if len(rh) < 16:
+                return None
+            ts_sec, ts_usec, incl_len, _orig = struct.unpack(
+                self._endian + "IIII", rh)
+            pkt = self._f.read(incl_len)
+            if len(pkt) < incl_len:
+                return None
+            ts = (ts_sec * 1000_000 + ts_usec) * 1000
+            if not self.extract_udp_payload:
+                payload = pkt
+            else:
+                payload = self._udp_payload(pkt)
+                if payload is None:
+                    continue
+            b = DataBlock(ts=ts, tag="pkt", data=payload, frame_ix=self._ix)
+            self._ix += 1
+            return b
+
+    def _udp_payload(self, pkt: bytes) -> Optional[bytes]:
+        if len(pkt) < 14 + 20 + 8:
+            raise ConfigError("pcap-src: packet too short for eth+ipv4+udp")
+        ethertype = struct.unpack("!H", pkt[12:14])[0]
+        if ethertype != 0x0800:
+            raise ConfigError(f"pcap-src: expected IPv4 ethertype, "
+                              f"got {ethertype:#x}")
+        ihl = (pkt[14] & 0x0F) * 4
+        if pkt[14] >> 4 != 4 or ihl < 20:
+            raise ConfigError("pcap-src: bad IPv4 header")
+        udp_off = 14 + ihl
+        dport, ulen = struct.unpack("!HH", pkt[udp_off + 2:udp_off + 6])
+        if self.udp_dest_port and dport != self.udp_dest_port:
+            return None
+        return pkt[udp_off + 8:udp_off + ulen]
+
+
+@register("data_stream", "pcap-sink",
+          help="write blocks as UDP packets in a pcap file")
+class PcapSink(DataStream):
+    fn = Field(str, req=True, help="output .pcap file")
+    udp_dest_port = Field(int, default="2368", help="udp dest port to stamp")
+
+    def start(self) -> None:
+        self._f = open(self.fn, "wb")
+        self._f.write(struct.pack("<IHHiIII", _PCAP_MAGIC, 2, 4, 0, 0,
+                                  65535, 1))
+        self._n = 0
+
+    def proc(self, blk):
+        payload = blk.data if blk.data is not None else \
+            (blk.nda.data.tobytes() if blk.nda is not None else b"")
+        udp = struct.pack("!HHHH", 2368, self.udp_dest_port,
+                          8 + len(payload), 0) + payload
+        ip_hdr = struct.pack("!BBHHHBBH4s4s", 0x45, 0, 20 + len(udp),
+                             self._n & 0xFFFF, 0, 64, 17, 0,
+                             bytes([10, 0, 0, 1]), bytes([10, 0, 0, 2]))
+        ip_hdr = ip_hdr[:10] + struct.pack("!H", _ip_cksum(ip_hdr)) + ip_hdr[12:]
+        eth = bytes(12) + struct.pack("!H", 0x0800)
+        pkt = eth + ip_hdr + udp
+        ts_ns = blk.ts
+        self._f.write(struct.pack("<IIII", ts_ns // 1_000_000_000,
+                                  (ts_ns % 1_000_000_000) // 1000,
+                                  len(pkt), len(pkt)))
+        self._f.write(pkt)
+        self._n += 1
+        return None
+
+    def finish(self) -> None:
+        self._f.close()
+
+
+# -- mxnet brick (RecordIO) src/sink ------------------------------------------------------
+# record framing per ref src/data-stream-mxnet.cc:16-23: [magic u32][lrec u32 =
+# cflag<<29 | len][len bytes][pad to 4]; cflag 0=whole, 1=start, 2=mid, 3=end.
+
+_MXNET_MAGIC = 0xCED7230A
+_MXNET_MAX_REC = 1 << 29
+
+
+@register("data_stream", "mxnet-brick-src",
+          help="mxnet-brick (RecordIO) records as blocks")
+class MxnetBrickSrc(DataStream):
+    fn = Field("filename", req=True, help="input brick file")
+
+    def start(self) -> None:
+        self._f = open(self.fn, "rb")
+        self._ix = 0
+
+    def read(self):
+        parts = []
+        while True:
+            hdr = self._f.read(8)
+            if not hdr:
+                if parts:
+                    raise ConfigError("mxnet-brick-src: eof mid-record")
+                return None
+            if len(hdr) < 8:
+                raise ConfigError("mxnet-brick-src: truncated record header")
+            magic, lrec = struct.unpack("<II", hdr)
+            if magic != _MXNET_MAGIC:
+                raise ConfigError(f"mxnet-brick-src: expected magic "
+                                  f"{_MXNET_MAGIC:#x}, got {magic:#x}")
+            cflag, ln = lrec >> 29, lrec & (_MXNET_MAX_REC - 1)
+            data = self._f.read(ln)
+            if len(data) < ln:
+                raise ConfigError("mxnet-brick-src: truncated record body")
+            self._f.read((-ln) % 4)  # pad to 4
+            if cflag in (0, 1):
+                if parts:
+                    raise ConfigError(f"mxnet-brick-src: cflag={cflag} "
+                                      "inside a split record")
+                parts.append(data)
+                if cflag == 0:
+                    break
+            elif cflag in (2, 3):
+                if not parts:
+                    raise ConfigError(f"mxnet-brick-src: cflag={cflag} "
+                                      "at record start")
+                parts.append(data)
+                if cflag == 3:
+                    break
+        b = DataBlock(ts=self._ix, tag="rec", data=b"".join(parts),
+                      frame_ix=self._ix)
+        self._ix += 1
+        return b
+
+
+@register("data_stream", "mxnet-brick-sink",
+          help="write blocks as mxnet-brick (RecordIO) records")
+class MxnetBrickSink(DataStream):
+    fn = Field(str, req=True, help="output brick file")
+    split_at = Field(int, default="0",
+                     help="if nonzero, split records into chunks of this size")
+
+    def start(self) -> None:
+        self._f = open(self.fn, "wb")
+
+    def _emit(self, cflag: int, data: bytes) -> None:
+        assert len(data) < _MXNET_MAX_REC
+        self._f.write(struct.pack("<II", _MXNET_MAGIC,
+                                  (cflag << 29) | len(data)))
+        self._f.write(data)
+        self._f.write(b"\0" * ((-len(data)) % 4))
+
+    def proc(self, blk):
+        data = blk.data if blk.data is not None else \
+            (blk.nda.data.tobytes() if blk.nda is not None else b"")
+        sz = self.split_at or max(len(data), 1)
+        chunks = [data[i:i + sz] for i in range(0, len(data), sz)] or [b""]
+        if len(chunks) == 1:
+            self._emit(0, chunks[0])
+        else:
+            for i, c in enumerate(chunks):
+                self._emit(1 if i == 0 else (3 if i == len(chunks) - 1 else 2), c)
+        return None
+
+    def finish(self) -> None:
+        self._f.close()
+
+
 # -- gated format-specific streams ------------------------------------------------------
 
-for _fmt in ("ffmpeg", "mxnet-brick", "pcap", "rosbag"):
+for _fmt in ("ffmpeg", "rosbag"):
     def _make(fmt):
         @register("data_stream", f"{fmt}-src",
                   help=f"{fmt} source (not available in this build)")

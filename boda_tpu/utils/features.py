@@ -27,4 +27,9 @@ def is_feature_enabled(name: str) -> bool:
             return False
     if name == "turbojpeg":
         return is_feature_enabled("PIL")  # PIL plays the jpeg-decode role
+    if name == "ref_nets":  # the reference's nets/ zoo (prototxt fixtures)
+        import os
+
+        from ..config import _ENV
+        return os.path.isdir(_ENV.get("ref_nets_dir", "/root/reference/nets"))
     raise ValueError(f"unknown feature name {name!r}")

@@ -148,6 +148,8 @@ class BatchLoader:
         lib = get_lib()
         assert lib is not None
         self._lib = lib
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 4
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         self._h = lib.bn_loader_create(arr, len(paths), batch, y, x,
                                        n_threads, int(loop))

@@ -121,3 +121,44 @@ def test_test_compute_with_bck(tmp_path):
                "--add-bck-ops=1", "--in-sz=8", f"--boda-output-dir={tmp_path}",
                "--mrd-toler=1e-3"])
     assert rc == 0
+
+
+def test_pallas_bck_conv_kernels_selected_and_match():
+    """The generated Pallas backward-conv path (ops/kernels/bconv.py — the
+    BckConv analog, ref test/rtc/bconv.cucl) must be SELECTED for an
+    eligible stride-1 conv and must match the xla engine's vjp grads."""
+    from boda_tpu.models.zoo import NetBuilder
+    b = NetBuilder("bk")
+    t = b.input("data")
+    t = b.conv("conv1", t, 32, 3, pad=1, in_chans=64)   # c=64, ow=8: eligible
+    t = b.relu("r1", t)
+    t = b.conv("conv2", t, 16, 1, in_chans=32)
+    b.softmax("prob", t)
+    in_dims = {"data": Dims.of(img=2, chan=64, y=8, x=8)}
+    pipe = b.done(in_dims)
+    add_bck_ops(pipe)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 8, 8).astype(np.float32)
+    labels = np.array([1, 3], dtype=np.float32)
+    want = []
+    for w in ("data__grad", "conv1__filts__grad", "conv1__biases__grad"):
+        if not (w in pipe.nodes and pipe.nodes[w].dims is not None):
+            w = f"{w}__p0"
+        assert w in pipe.nodes, w
+        want.append(w)
+    res = {}
+    logs = {}
+    for engine in ("xla", "pallas"):
+        eng = make("conv_fwd", engine)
+        eng.init(pipe)
+        res[engine] = eng.run_fwd(
+            {"data": NDA(in_dims["data"], x),
+             "label": NDA(Dims.of(img=2), labels)}, want)
+        logs[engine] = eng.get_info_log()
+    assert "pallas-bck-conv" in logs["pallas"], logs["pallas"]
+    for n in want:
+        a = res["xla"][n].data
+        g = res["pallas"][n].data
+        scale = max(1e-30, float(np.abs(a).max()))
+        r = comp_vars(a, g, mrd_toler=1e-5, atol=1e-5 * scale)
+        assert r.ok(), f"{n}: {r}"

@@ -152,3 +152,23 @@ def test_unsupported_layer_type():
                             "input_shape": [{"dim": [1, 3, 4, 4]}],
                             "layer": [{"name": ["l"], "type": ["NoSuch"],
                                        "bottom": ["d"], "top": ["t"]}]})
+
+
+REF_NETS = "/root/reference/nets"
+
+
+def test_all_reference_prototxts_parse():
+    """Every net in the reference zoo must parse + shape-infer (ref
+    parse_and_upgrade_net_param_from_text_file, caffepb.cc:329 — incl. the
+    V1 'layers'/enum-type format of nin/vgg_19/bconv_strides_1)."""
+    import glob
+    import os
+    if not os.path.isdir(REF_NETS):
+        pytest.skip("reference nets not available")
+    files = sorted(glob.glob(f"{REF_NETS}/*/train_val.prototxt"))
+    files.append(f"{REF_NETS}/rrc/deploy.prototxt")
+    assert len(files) == 21
+    for f in files:
+        pipe, in_dims = pipe_from_prototxt(f, img=1)
+        assert pipe.ops and in_dims, f
+        assert "data" in in_dims or "data_layer" in in_dims, f

@@ -94,9 +94,64 @@ def test_crop_and_stamp():
 
 def test_gated_formats():
     from boda_tpu.config import ConfigError
-    src = instantiate("data_stream", parse_lexp("(stream=pcap-src)"))
+    src = instantiate("data_stream", parse_lexp("(stream=ffmpeg-src)"))
     with pytest.raises(ConfigError, match="not available in this build"):
         src.start()
+
+
+def test_pcap_udp_roundtrip(tmp_path):
+    """pcap-sink -> pcap-src round-trips UDP payload blocks with timestamps
+    (ref data-stream-pcap.cc pcap_hdr_t/pcaprec_hdr_t + udp extraction)."""
+    from boda_tpu.stream.data_stream import DataBlock
+    fn = tmp_path / "t.pcap"
+    sink = _mk(f"(stream=pcap-sink,fn={fn},udp_dest_port=2368)")
+    payloads = [bytes([i] * (10 + i)) for i in range(5)]
+    for i, p in enumerate(payloads):
+        sink.proc(DataBlock(ts=1_700_000_000_000_000_000 + i * 1000_000,
+                            tag="pkt", data=p, frame_ix=i))
+    sink.finish()
+    src = _mk(f"(stream=pcap-src,fn={fn},udp_dest_port=2368)")
+    blocks = _drain(src)
+    assert [b.data for b in blocks] == payloads
+    assert blocks[1].ts - blocks[0].ts == 1000_000
+    # port filter drops everything on a different port
+    src2 = _mk(f"(stream=pcap-src,fn={fn},udp_dest_port=99)")
+    assert _drain(src2) == []
+    # raw (non-udp-extract) mode returns whole ethernet frames
+    src3 = _mk(f"(stream=pcap-src,fn={fn},extract_udp_payload=0)")
+    raw = _drain(src3)
+    assert len(raw) == 5 and len(raw[0].data) == 14 + 20 + 8 + len(payloads[0])
+
+
+def test_mxnet_brick_roundtrip(tmp_path):
+    """mxnet-brick RecordIO framing incl. split records (ref
+    data-stream-mxnet.cc:16-23 lrec cflag encoding)."""
+    from boda_tpu.stream.data_stream import DataBlock
+    fn = tmp_path / "t.brick"
+    recs = [b"hello", b"x" * 33, b"", b"yy"]
+    sink = _mk(f"(stream=mxnet-brick-sink,fn={fn})")
+    for i, r in enumerate(recs):
+        sink.proc(DataBlock(ts=i, data=r, frame_ix=i))
+    sink.finish()
+    got = _drain(_mk(f"(stream=mxnet-brick-src,fn={fn})"))
+    assert [b.data for b in got] == recs
+    # split-record writing (cflag 1/2/3 chains) reassembles identically
+    fn2 = tmp_path / "t2.brick"
+    sink2 = _mk(f"(stream=mxnet-brick-sink,fn={fn2},split_at=8)")
+    for i, r in enumerate(recs):
+        sink2.proc(DataBlock(ts=i, data=r, frame_ix=i))
+    sink2.finish()
+    got2 = _drain(_mk(f"(stream=mxnet-brick-src,fn={fn2})"))
+    assert [b.data for b in got2] == recs
+    # corrupt magic is a hard error
+    data = bytearray(open(fn, "rb").read())
+    data[0] ^= 0xFF
+    bad = tmp_path / "bad.brick"
+    bad.write_bytes(bytes(data))
+    from boda_tpu.config import ConfigError
+    src = _mk(f"(stream=mxnet-brick-src,fn={bad})")
+    with pytest.raises(ConfigError, match="expected magic"):
+        src.read()
 
 
 def test_scan_mode(tmp_path, capsys):
