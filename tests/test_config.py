@@ -44,6 +44,16 @@ class ToyZoo(Mode):
         pass
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _unregister_toys():
+    """Keep the toy classes out of the global registry after this module:
+    the err_bad_mode golden asserts the exact production mode list."""
+    yield
+    from boda_tpu.config import _REGISTRY
+    _REGISTRY["mode"]["classes"].pop("toy_zoo", None)
+    _REGISTRY.pop("toy_animal", None)
+
+
 def test_basic_init():
     z = instantiate("mode", parse_lexp("(mode=toy_zoo,pet=(kind=dog,name=rex))"))
     assert isinstance(z.pet, ToyDog)
