@@ -306,17 +306,49 @@ class FwdEngine:
         return arr
 
     def time_fwd(self, ins: dict[str, NDA], out_names: list[str],
-                 n_iters: int = 20, warmup: int = 3) -> float:
+                 n_iters: int = 20, warmup: int = 3, chain: int = 1) -> float:
         """Steady-state secs per whole-net forward (difference method — see
-        rtc/backends.time_diff_method: cancels fixed dispatch/sync latency)."""
+        rtc/backends.time_diff_method: cancels fixed dispatch/sync latency).
+
+        chain > 1 runs `chain` data-dependent forwards inside ONE compiled
+        program (lax.scan with a carried ~0 perturbation that defeats CSE):
+        over a high-latency dispatch path (the remote-TPU tunnel's ~26ms RTT
+        dwarfs a ~5ms forward) per-dispatch timing measures dispatch jitter,
+        not device time — chaining makes each dispatch device-bound. The
+        batched analog of the reference's single-stream launch replay
+        (rtc_fwd.cc:547)."""
         import jax
 
         from ..rtc.backends import time_diff_method
         dev = self.device()
         self.compile_for(sorted(ins), out_names)
         dev_ins = {k: jax.device_put(v.data, dev) for k, v in ins.items()}
-        return time_diff_method(lambda: self._fn(self._weights_dev, dev_ins),
-                                lambda outs: _block_tree(outs), n_iters, warmup)
+        if chain <= 1 or self._mesh is not None:
+            return time_diff_method(
+                lambda: self._fn(self._weights_dev, dev_ins),
+                lambda outs: _block_tree(outs), n_iters, warmup)
+        import jax.numpy as jnp
+        from jax import lax
+        raw = self.build_raw_fn(out_names)
+
+        def chained(weights, xins):
+            def step(carry, _):
+                pins = {}
+                for k, v in xins.items():
+                    if jnp.issubdtype(v.dtype, jnp.floating):
+                        pins[k] = v + carry.astype(v.dtype)
+                    else:
+                        pins[k] = v
+                outs = raw(weights, pins)
+                leaf = jax.tree_util.tree_leaves(outs)[0]
+                return leaf.ravel()[0].astype(jnp.float32) * 1e-30, None
+            return lax.scan(step, jnp.float32(0.0), None, length=chain)[0]
+
+        cfn = jax.jit(chained)
+        secs = time_diff_method(lambda: cfn(self._weights_dev, dev_ins),
+                                lambda outs: _block_tree(outs),
+                                max(1, n_iters // chain), warmup)
+        return secs / chain
 
 
 def _block_tree(tree) -> None:
@@ -340,12 +372,36 @@ class PallasFwd(FwdEngine):
     # conv+ReLU fusion (ref rtc_fwd.cc:490): applied per-compile, only when
     # the pre-ReLU node is not a requested output (per-layer tests still work)
     fuse_relu = Field(bool, default="1", help="fuse ReLU into conv/fc stores")
+    # residual fusion: fold Eltwise(sum)+ReLU tails (ResNet blocks) into the
+    # producing conv kernel's store epilogue (saves one HBM round trip of the
+    # conv output per residual block; no reference analog — the reference
+    # never fused across eltwise)
+    fuse_eltwise = Field(bool, default="1", help="fuse residual add into conv stores")
     # autotuning wisdom: best recorded tune per op signature + platform
     # (ref: per-op tune selection from wisdom files, op-tuner.cc)
     wisdom_fn = Field("filename", default="", help="wisdom file for per-op tunes")
 
+    def fusion_fingerprint(self) -> str:
+        """Stable tag of the engine configuration that shapes what a 'good'
+        per-op tune is (fusion structure + layout + dtype). Wisdom recorded
+        under one fingerprint must not be applied under another: standalone
+        tunes measured pre-BN-folding actively regressed the folded engine
+        (see NOTES_ROUND2 / round-1 verdict)."""
+        from ..utils.dims import stable_hash
+        cfg = (self.layout, bool(self.fuse_relu), bool(self.fuse_eltwise),
+               self.compute_tn, self.precision)
+        return f"{stable_hash(repr(cfg)) & 0xFFFFFFFF:08x}"
+
+    def wisdom_plats(self) -> tuple[str, str]:
+        """(net-context plat tag, standalone plat tag) for wisdom records."""
+        plat = f"tpu:{getattr(self.device(), 'device_kind', '?')}".replace(" ", "_")
+        return f"net:{plat}:{self.fusion_fingerprint()}", plat
+
     def _wisdom_tune(self, op_name: str):
-        """Best recorded tune for this op's signature on this platform."""
+        """Best recorded tune for this op's signature on this platform.
+        Preference order: net-level runs with OUR fusion fingerprint, then
+        standalone runs for this device. Net runs from a different
+        fingerprint are ignored entirely (they tuned a different program)."""
         if not self.wisdom_fn:
             return None
         if not hasattr(self, "_wisdom"):
@@ -362,8 +418,15 @@ class PallasFwd(FwdEngine):
         w = self._wisdom.get(sig.key())
         if w is None:
             return None
-        plat = f"tpu:{getattr(self.device(), 'device_kind', '?')}".replace(" ", "_")
-        best = w.best(plat) or w.best()
+        net_plat, plat = self.wisdom_plats()
+        best = w.best(net_plat) or w.best(plat)
+        if best is None:
+            # last resort: standalone runs from other platforms transfer
+            # imperfectly but harmlessly; net-tuned runs from a DIFFERENT
+            # fusion fingerprint are excluded (they tuned a different program
+            # and have been observed to regress this one)
+            standalone = [r for r in w.runs if not r.plat.startswith("net:")]
+            best = min(standalone, key=lambda r: r.secs) if standalone else None
         if best is None:
             return None
         self._info_log.append(f"{op_name}: wisdom tune {best.tune} "
@@ -424,17 +487,26 @@ class PallasFwd(FwdEngine):
         # extra HBM round trip per conv); ReLU fuses into the kernel store.
         self._chains: dict[str, list[str]] = {}
         if self.fuse_relu:
-            for op_name in pipe.topo_op_order():
+            topo = pipe.topo_op_order()
+            topo_ix = {n: i for i, n in enumerate(topo)}
+
+            def single_next(cur):
+                consumers = pipe.nodes[cur.tops[0]].bot_for
+                if len(consumers) != 1:
+                    return None
+                return pipe.ops[consumers[0]]
+
+            elt_claim: dict[str, str] = {}  # eltwise op -> claiming conv
+            for op_name in topo:
                 op = pipe.ops[op_name]
                 if op.type not in ("Convolution", "InnerProduct"):
                     continue
                 chain = []
                 cur = op
                 for want in ("BatchNorm", "Scale", "ReLU"):
-                    consumers = pipe.nodes[cur.tops[0]].bot_for
-                    if len(consumers) != 1:
+                    nxt = single_next(cur)
+                    if nxt is None:
                         break
-                    nxt = pipe.ops[consumers[0]]
                     if nxt.type != want:
                         if want == "ReLU":
                             break
@@ -443,6 +515,37 @@ class PallasFwd(FwdEngine):
                         break
                     chain.append(nxt.name)
                     cur = nxt
+                # residual extension (ResNet tail): conv[->BN][->Scale] ->
+                # Eltwise(sum, this + skip) [-> ReLU]. The skip value must
+                # already be computed at this conv's topo slot; when both
+                # eltwise inputs end in fusable convs, the later conv wins.
+                if self.fuse_eltwise and \
+                        (not chain or pipe.ops[chain[-1]].type != "ReLU"):
+                    nxt = single_next(cur)
+                    if nxt is not None and nxt.type == "Eltwise" and \
+                            nxt.p("eltwise_op", "sum") == "sum" and \
+                            not nxt.p("coeffs", None) and \
+                            len(nxt.bots) == 2 and nxt.bots[0] != nxt.bots[1] and \
+                            cur.tops[0] in nxt.bots:
+                        skip = next(b for b in nxt.bots if b != cur.tops[0])
+                        prods = pipe.nodes[skip].top_for
+                        if not prods or all(topo_ix[pr] < topo_ix[op_name]
+                                            for pr in prods):
+                            prev = elt_claim.get(nxt.name)
+                            if prev is None or topo_ix[prev] < topo_ix[op_name]:
+                                if prev is not None:  # un-claim the earlier conv
+                                    pc = self._chains.get(prev, [])
+                                    self._chains[prev] = pc[:pc.index(nxt.name)]
+                                    if not self._chains[prev]:
+                                        del self._chains[prev]
+                                elt_claim[nxt.name] = op_name
+                                chain.append(nxt.name)
+                                cur = nxt
+                                nxt2 = single_next(cur)
+                                if nxt2 is not None and nxt2.type == "ReLU" \
+                                        and nxt2.bots[0] == cur.tops[0]:
+                                    chain.append(nxt2.name)
+                                    cur = nxt2
                 if chain:
                     self._chains[op_name] = chain
         for op_name in pipe.topo_op_order():
@@ -455,15 +558,25 @@ class PallasFwd(FwdEngine):
 
     def _lower_chain(self, pipe: ConvPipe, conv_op, chain: list[str],
                      ctx: LowerCtx) -> Callable:
-        """Fused lowering for conv(+bias) -> [BN] -> [Scale] -> [ReLU]:
-        computes folded weights/bias in-jit, runs one fused-ReLU kernel."""
+        """Fused lowering for conv(+bias) -> [BN] -> [Scale] -> [Eltwise-sum]
+        -> [ReLU]: computes folded weights/bias in-jit, runs one kernel with
+        a fused bias(+residual)(+ReLU) store epilogue. When the selected conv
+        variant cannot take an in-kernel residual, the add+ReLU run as plain
+        XLA ops after the kernel (still one compile unit)."""
         import jax.numpy as jnp
         from jax import lax as _lax
         ops = [pipe.ops[c] for c in chain]
         has_relu = any(o.type == "ReLU" for o in ops)
         bn = next((o for o in ops if o.type == "BatchNorm"), None)
         sc = next((o for o in ops if o.type == "Scale"), None)
+        elt = next((o for o in ops if o.type == "Eltwise"), None)
         fused_conv_fn = self._lower(pipe, conv_op, ctx, fused=has_relu)
+        res_in_kernel = elt is not None and \
+            getattr(fused_conv_fn, "supports_residual", False)
+        if elt is not None and not res_in_kernel:
+            # kernel can't fuse the residual: take an activation-free lowering
+            # and apply add(+ReLU) as XLA epilogue ops instead
+            fused_conv_fn = self._lower(pipe, conv_op, ctx, fused=False)
         eps = float(bn.p("eps", 1e-5)) if bn is not None else 0.0
         n_bn = (len(bn.bots) - 1) if bn is not None else 0
         n_sc = (len(sc.bots) - 1) if sc is not None else 0
@@ -498,7 +611,15 @@ class PallasFwd(FwdEngine):
                 sh = (-1,) + (1,) * (w.ndim - 1)
                 w2 = (w * scale_eff.reshape(sh).astype(jnp.float32)).astype(w.dtype)
             b2 = (b * scale_eff + shift).astype(b.dtype)
-            return fused_conv_fn(x, w2, b2)
+            if elt is None:
+                return fused_conv_fn(x, w2, b2)
+            res = rest[i]
+            if res_in_kernel:
+                return fused_conv_fn(x, w2, b2, residual=res)
+            out = fused_conv_fn(x, w2, b2)[0] + res
+            if has_relu:
+                out = jnp.maximum(out, 0.0)
+            return (out.astype(x.dtype),)
         return fn
 
     def _lower(self, pipe: ConvPipe, op, ctx: LowerCtx, fused: bool) -> Callable:
@@ -679,8 +800,17 @@ class PallasFwd(FwdEngine):
         for conv_name, chain in fused_now.items():
             for c in chain:
                 skip_ops[c] = conv_name
-        chain_args = {c: [b for cn in chain for b in pipe.ops[cn].bots[1:]]
-                      for c, chain in fused_now.items()}
+        # extra inputs of each chain op = all bots except the link value
+        # (prev op's top); for BN/Scale that's bots[1:], for Eltwise it's
+        # the skip-connection activation (either bot position)
+        def _extras(conv_name, chain):
+            link, out = pipe.ops[conv_name].tops[0], []
+            for cn in chain:
+                cop = pipe.ops[cn]
+                out += [b for b in cop.bots if b != link]
+                link = cop.tops[0]
+            return out
+        chain_args = {c: _extras(c, chain) for c, chain in fused_now.items()}
         chain_final_top = {c: pipe.ops[chain[-1]].tops[0]
                            for c, chain in fused_now.items()}
         lowered = {}

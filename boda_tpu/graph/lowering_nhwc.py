@@ -83,16 +83,34 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
         bm, bn, bk = pick_matmul_blocks(M, K, N, tune, ind.tn)
         info_log.append(f"{op.name}: nhwc-k1conv bm={bm} bn={bn} bk={bk}")
 
-        def fn(x, w, b):  # x NHWC, w HWIO
+        def fn(x, w, b, residual=None):  # x NHWC, w HWIO
             if s != (1, 1):
                 x = x[:, ::s[0], ::s[1], :]
             n, y, xx, c = x.shape
+            res2d = residual.reshape(n * y * xx, -1) \
+                if residual is not None else None
             out = pallas_matmul(x.reshape(n * y * xx, c), w.reshape(c, -1), b,
                                 bm=bm, bn=bn, bk=bk, out_dtype=x.dtype,
                                 precision=tune.precision, relu=relu,
-                                interpret=ctx_interp())
+                                interpret=ctx_interp(), residual=res2d)
             return (out.reshape(n, y, xx, -1),)
+        fn.supports_residual = True
         return fn, preps
+
+    halo_on = tune.use_halo == 1 or (tune.use_halo == -1 and not ctx_interp())
+    if groups == 1 and not tune.use_xla and halo_on:
+        from ..ops.kernels.conv import conv_halo_blocks, pallas_conv2d_halo
+        hb = conv_halo_blocks(ind, fd, od, s, p, tune)
+        if hb is not None:
+            info_log.append(f"{op.name}: nhwc-halo_conv {hb} s={s}")
+
+            def fn(x, w, b, residual=None):
+                return (pallas_conv2d_halo(x, w, b, stride=s, pad=p, relu=relu,
+                                           hb=hb, precision=tune.precision,
+                                           interpret=ctx_interp(),
+                                           residual=residual),)
+            fn.supports_residual = True
+            return fn, preps
 
     blocks = None
     if groups == 1 and not tune.use_xla and s == (1, 1):

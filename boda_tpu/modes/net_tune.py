@@ -27,10 +27,12 @@ class NetTune(Mode):
                      default="(mode=pallas,compute_tn=bfloat16,precision=default)",
                      help="engine template (per_op_tune is overridden)")
     candidates = Field((dict, "lexp"),
-                       default="(kg=(),big=(bm=512,bn=512,bk=256),xla=(use_xla=1))",
+                       default="(kg=(),big=(bm=512,bn=512,bk=256),xla=(use_xla=1),"
+                               "nohalo=(use_halo=0),ch8=(chunk=8),ch16=(chunk=16))",
                        help="tune candidates per signature group")
     max_groups = Field(int, default="0", help="limit swept groups (0=all, hottest first)")
     n_iters = Field(int, default="10", help="timing iterations per config")
+    chain = Field(int, default="8", help="forwards chained per dispatch (see time_fwd)")
     wisdom_out_fn = Field(str, default="net-tuned.wis", help="output wisdom file")
 
     def main(self) -> None:
@@ -66,7 +68,8 @@ class NetTune(Mode):
             eng.per_op_tune = per_op
             eng._fn_key = None  # force recompile with the new tunes
             eng.init(pipe)
-            return eng.time_fwd({"data": x}, ["prob"], n_iters=self.n_iters)
+            return eng.time_fwd({"data": x}, ["prob"], n_iters=self.n_iters,
+                                chain=self.chain)
 
         base = measure()
         print(f"net_tune {pipe.name}: baseline {self.img / base:.1f} img/s "
@@ -92,10 +95,12 @@ class NetTune(Mode):
         # write winners as wisdom (net-level objective runs)
         from ..ops.op_base import Op
         wis = []
+        net_plat = eng.wisdom_plats()[0]  # fusion-fingerprinted tag: these
+        # tunes are only valid for the engine configuration they were swept in
         for k, tune_s in chosen.items():
             w = OpWisdom(Op.parse(k))
             w.runs.append(OpRun(tune_s if tune_s != "()" else "()",
-                                "net:" + eng.device().platform, best_t))
+                                net_plat, best_t))
             wis.append(w)
         fn = self.out_path(self.wisdom_out_fn)
         write_wisdom(fn, wis)

@@ -161,6 +161,298 @@ def pallas_conv2d_nhwc(x, w, bias, *, stride=(1, 1), pad=(0, 0),
     return out[:, :oh, :, :oc]
 
 
+# -- v2: halo-window direct conv (no host-side gather) -------------------------------
+#
+# The v1 kernel above gathers halo'd row blocks host-side, materializing a
+# duplicated (N*R, XR, PW, C) tensor in HBM (an extra full read+write of the
+# input per conv). v2 keeps the input in HBM (memory_space=ANY) and streams
+# overlapping row windows into a double-buffered VMEM scratch with manual
+# async DMAs — the TPU analog of the reference tconv's in-kernel overlapped
+# line reads (ref test/rtc/tconv.cucl + cnn_codegen.cc:763).
+#
+# Mosaic constraints discovered by on-hardware probing (v5e, 2026-08):
+#   * DMA destinations must be FULL rows of the scratch (any partial-width or
+#     sub-lane-tile destination slice crashes the Mosaic backend), AND the
+#     row width must be a sublane-tile multiple (w % 8; w=28 crashes the
+#     compiler, w=56 works). The input is therefore host-side width-padded
+#     to wp = round_up(w + 2*px, 8) with the column padding folded in —
+#     a cheap fusable pad, O(input), unlike v1's O(kh x input) row gather.
+#     With pre-padded columns every tap is full-width (no per-tap column
+#     bounds; value .at[].add would lower to unsupported scatter-add anyway).
+#   * The scratch minor dim must be a 128 multiple => c % 128 == 0 here;
+#     c < 128 shapes keep using the v1 gather kernel.
+#   * Strided row/col access on values lowers to unsupported gathers; the
+#     stride is instead expressed as reshape-to-(rows//s, s, ...) + static
+#     index, which compiles for f32 but crashes for bf16 => strided convs
+#     take this path only for f32.
+#   * Un-DMA'd buffer rows (top/bottom halo at image edges) hold stale data
+#     and are masked with iota row compares.
+#   * Large row blocks (boy=28, 9 unrolled taps of ~800KB f32 temps) abort
+#     the Mosaic compiler — per-tap value size is capped (_HALO_TEMP_CAP).
+
+
+ANY_SPACE = getattr(pl, "ANY", None) or pltpu.ANY
+
+# per-tap f32 value cap (boy*wp*boc*4): boy=28 blocks (~800KB/tap) abort the
+# Mosaic compiler; 229KB blocks compile+run. Probed ceiling between.
+_HALO_TEMP_CAP = 300 * 1024
+
+
+@dataclass(frozen=True)
+class HaloBlocks:
+    boy: int        # output rows per block
+    boc: int        # output-channel block (<=128 exact, else 128-multiple)
+    jn: int         # number of oc blocks (ocp // boc)
+    xr: int         # input rows per window = (boy-1)*sy + kh
+    xrp: int        # buffer rows: xr padded to a stride multiple
+    r: int          # row blocks per image = ceil(oh / boy)
+    wp: int         # width after folding column pad + rounding to 8
+    owp: int        # kernel output width from wp (>= ow; sliced after)
+
+    def __str__(self):
+        return f"boy={self.boy} boc={self.boc}x{self.jn}"
+
+
+def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
+                     tune: OpTune) -> HaloBlocks | None:
+    """Feasibility + block choice for the halo-window conv (gbt_tile analog,
+    ref gbt_tile.H:24: waste-aware block selection under a memory budget)."""
+    kh, kw = fd["y"], fd["x"]
+    c, oc = fd["in_chan"], fd["out_chan"]
+    oh, ow = od["y"], od["x"]
+    h, w = ind["y"], ind["x"]
+    sy, sx = stride
+    py, px = pad
+    if c % 128 != 0:  # Mosaic: DMA-able scratch needs a 128-multiple minor dim
+        return None
+    if kh == 1 and kw == 1 and sy == 1 and sx == 1:
+        return None  # k1conv (matmul) path is better
+    is_f32 = ind.tn == "float32"
+    if (sy, sx) != (1, 1) and not is_f32:
+        return None  # bf16 strided reshape-trick crashes Mosaic (see header)
+    itemsize = 4 if is_f32 else 2
+    wp = round_up(w + 2 * px, 8)       # folded column pad (see module header)
+    wp = round_up(wp, sx * 8) if sx > 1 else wp  # stride reshape needs wp%sx==0
+    owp = (wp - kw) // sx + 1
+    if owp < ow:
+        return None  # cannot happen (wp >= w + 2*px), defensive
+    # oc <= 128 (f32): exact sub-128 lane block — no channel padding, no
+    # output slice copy (validated f32-only on hardware)
+    ocp = oc if (oc <= 128 and is_f32) else round_up(oc, 128)
+    # row-block candidates: divisors of oh first (no masked-tail waste),
+    # then non-divisors, both descending
+    cands = [tune.chunk] if tune.chunk else sorted(
+        (b for b in (64, 56, 32, 28, 16, 14, 8, 7, 4, 2, 1) if b <= oh),
+        key=lambda b: (oh % b != 0, -b))
+    for boy in cands:
+        boy = min(boy, oh)
+        r = cdiv(oh, boy)
+        xr = (boy - 1) * sy + kh
+        xrp = cdiv(xr, sy) * sy
+        # DMA-variant feasibility (see _halo_dma_variants): interior windows
+        # fully in-bounds, top window fits, bottom overrun smaller than xr
+        bz = max(0, (r - 1) * boy * sy - py + xr - h)
+        if r > 1 and (boy * sy < py or xr - py > h or bz >= xr):
+            continue
+        if r > 2 and (r - 2) * boy * sy - py + xr > h:
+            continue
+        x_blk = xrp * wp * c * itemsize
+        for boc in (ocp, *range(((ocp // 128) - 1) * 128, 0, -128)):
+            if ocp % boc:
+                continue
+            if boy * wp * boc * 4 > _HALO_TEMP_CAP:
+                continue  # Mosaic compiler aborts on huge unrolled tap values
+            jn = ocp // boc
+            w_blk = kh * kw * c * boc * itemsize
+            out_blk = boy * owp * boc * itemsize
+            z_tmp = (boy * wp * boc + boy * owp * boc) * 4  # per-tap f32 temps
+            if 2 * x_blk + 2 * w_blk + 2 * out_blk + z_tmp <= _VMEM_BUDGET:
+                return HaloBlocks(boy=boy, boc=boc, jn=jn, xr=xr, xrp=xrp,
+                                  r=r, wp=wp, owp=owp)
+    return None
+
+
+def _halo_dma_variants(x_hbm, xbuf, sem, tt, slot, *, r, boy, sy, py, xr, h,
+                       bz, action):
+    """Issue (action='start') or complete (action='wait') the row-window DMA
+    for grid row-step `tt` into buffer `slot`. Statically-sized full-row copy
+    variants (top / bottom / interior) selected by pl.when — DMA slice sizes
+    must be static, and pl.when traces BOTH branches, so statically-impossible
+    variants must not be emitted at all."""
+    n = tt // r
+    i = jax.lax.rem(tt, r)
+    start = i * boy * sy - py
+
+    def go(src_lo, n_rows, dst_lo):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(src_lo, n_rows)],
+            xbuf.at[slot, pl.ds(dst_lo, n_rows)],
+            sem.at[slot])
+        cp.start() if action == "start" else cp.wait()
+
+    if r == 1:  # single block: top and bottom clipping combined
+        go(0, min(xr - py, h), py)
+        return
+
+    @pl.when(i == 0)
+    def _top():
+        go(0, min(xr - py, h), py)
+
+    if bz > 0:
+        @pl.when(i == r - 1)
+        def _bot():
+            go(start, xr - bz, 0)
+
+        if r > 2:
+            @pl.when((i > 0) & (i < r - 1))
+            def _mid():
+                go(start, xr, 0)
+    else:
+        @pl.when(i > 0)
+        def _mid():
+            go(start, xr, 0)
+
+
+def _conv_halo_kernel(x_hbm, w_ref, b_ref, *rest, kh, kw, sy, sx, boy, owp,
+                      py, h, wp, r, n_t, bz, xrp, precision, relu, has_res):
+    if has_res:
+        res_ref, o_ref, xbuf, sem = rest
+    else:
+        o_ref, xbuf, sem = rest
+    c = xbuf.shape[-1]
+    boc = o_ref.shape[3]
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    i = jax.lax.rem(t, r)
+    slot = jax.lax.rem(t, 2)
+    dma_kw = dict(r=r, boy=boy, sy=sy, py=py, xr=(boy - 1) * sy + kh, h=h,
+                  bz=bz)
+
+    @pl.when(j == 0)
+    def _dma():
+        @pl.when(t == 0)
+        def _():
+            _halo_dma_variants(x_hbm, xbuf, sem, t, slot, action="start",
+                               **dma_kw)
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            _halo_dma_variants(x_hbm, xbuf, sem, t + 1,
+                               jax.lax.rem(t + 1, 2), action="start", **dma_kw)
+
+        _halo_dma_variants(x_hbm, xbuf, sem, t, slot, action="wait", **dma_kw)
+
+    acc = jnp.zeros((boy, owp, boc), jnp.float32)
+    base = i * boy * sy
+    for ky in range(kh):
+        if sy > 1:  # stride as reshape + static index (no strided slicing)
+            xv4 = xbuf[slot].reshape(xrp // sy, sy, wp, c)
+            xk = xv4[ky // sy:ky // sy + boy, ky % sy]
+        else:
+            xk = xbuf[slot, ky:ky + boy]
+        # mask rows whose padded coordinate falls outside [py, py+h):
+        # un-DMA'd buffer rows hold stale data
+        rows = jax.lax.broadcasted_iota(jnp.int32, (boy, wp, 1), 0) * sy \
+            + base + ky
+        xk = jnp.where((rows >= py) & (rows < py + h), xk,
+                       jnp.zeros((), xk.dtype))
+        xk2 = xk.reshape(boy * wp, c)  # contiguous collapse (layout-free)
+        for kx in range(kw):
+            # columns are pre-padded host-side: every tap is full width;
+            # output col q reads input col q*sx + kx, always in [0, wp)
+            z = jnp.dot(xk2, w_ref[ky, kx], preferred_element_type=jnp.float32,
+                        precision=precision)
+            z3 = z.reshape(boy, wp, boc)
+            if sx > 1:
+                s_lo = kx
+                if s_lo % sx:  # shift so wanted cols are stride-aligned
+                    sh = s_lo % sx
+                    z3 = jnp.pad(z3[:, sh:, :], ((0, 0), (0, sh), (0, 0)))
+                    s_lo -= sh
+                z4 = z3.reshape(boy, wp // sx, sx, boc)
+                zs = z4[:, s_lo // sx:s_lo // sx + owp, 0]
+            else:
+                zs = z3[:, kx:kx + owp, :]
+            acc = acc + zs
+    acc = acc + b_ref[0].astype(jnp.float32)
+    if has_res:
+        acc = acc + res_ref[0].astype(jnp.float32)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def pallas_conv2d_halo(x, wt, bias, *, stride=(1, 1), pad=(0, 0),
+                       relu: bool = False, hb: HaloBlocks,
+                       precision: str = "highest", interpret: bool = False,
+                       residual=None):
+    """x (N,H,W,C) * wt (KH,KW,C,OC) + bias [+ residual (N,OH,OW,OC)] ->
+    (N,OH,OW,OC). Direct conv with manual-DMA halo row streaming and fused
+    bias(+residual)+ReLU store."""
+    n, h, w, c = x.shape
+    kh, kw, wc, oc = wt.shape
+    assert wc == c, (wt.shape, x.shape)
+    sy, sx = stride
+    py, px = pad
+    oh = (h + 2 * py - kh) // sy + 1
+    ow = (w + 2 * px - kw) // sx + 1
+    boy, boc, jn, xrp, r = hb.boy, hb.boc, hb.jn, hb.xrp, hb.r
+    wp, owp = hb.wp, hb.owp
+    # fold the column pad host-side (cheap fusable O(input) pad; Mosaic DMA
+    # rows must be 8-multiples — see module header). Rows stay unpadded.
+    x = jnp.pad(x, ((0, 0), (0, 0), (px, wp - w - px), (0, 0)))
+    ocp = boc * jn
+    if ocp != oc:
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, 0), (0, ocp - oc)))
+        bias = jnp.pad(bias, (0, ocp - oc))
+    bias2d = bias.reshape(1, ocp)
+    ohp = r * boy
+    n_t = n * r
+    bz = max(0, (r - 1) * boy * sy - py + hb.xr - h)  # last-block row overrun
+
+    in_specs = [
+        pl.BlockSpec(memory_space=ANY_SPACE),
+        pl.BlockSpec((kh, kw, c, boc), lambda t, j: (0, 0, 0, j)),
+        pl.BlockSpec((1, boc), lambda t, j: (0, j)),
+    ]
+    args = [x, wt, bias2d]
+    if residual is not None:
+        if ocp != oc:
+            residual = jnp.pad(residual, ((0, 0), (0, 0), (0, 0), (0, ocp - oc)))
+        if owp != ow:
+            residual = jnp.pad(residual, ((0, 0), (0, 0), (0, owp - ow), (0, 0)))
+        in_specs.append(pl.BlockSpec(
+            (1, boy, owp, boc), lambda t, j: (t // r, t % r, 0, j)))
+        args.append(residual)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_halo_kernel, kh=kh, kw=kw, sy=sy, sx=sx, boy=boy, owp=owp,
+            py=py, h=h, wp=wp, r=r, n_t=n_t, bz=bz, xrp=xrp,
+            precision=PRECISIONS[precision],
+            relu=relu, has_res=residual is not None),
+        grid=(n_t, jn),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, boy, owp, boc),
+                               lambda t, j: (t // r, t % r, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((n, ohp, owp, ocp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, xrp, wp, c), x.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * oh * ow * ocp * kh * kw * c,
+            bytes_accessed=int(n * h * wp * c * x.dtype.itemsize
+                               + wt.size * wt.dtype.itemsize
+                               + n * oh * ow * ocp * x.dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    if ohp != oh or ocp != oc or owp != ow:
+        out = out[:, :oh, :ow, :oc]
+    return out
+
+
 def space_to_depth_conv(x, w, bias, *, stride, pad, relu, tune,
                         precision: str = "highest", interpret: bool = False):
     """Strided conv via space-to-depth: fold the stride into the channel dim
@@ -233,12 +525,25 @@ def gen_conv(op: Op, tune: OpTune, ctx: GenCtx) -> FuncInfo:
     kh, kw = fd["y"], fd["x"]
     flops = 2.0 * od.num_elems() * fd["in_chan"] * kh * kw
     byts = float(ind.bytes_sz() + fd.bytes_sz() + od.bytes_sz())
-    use_pallas = (not ctx.use_ref and not tune.use_xla and s == (1, 1))
+    gen_ok = not ctx.use_ref and not tune.use_xla
+    halo_on = tune.use_halo == 1 or (tune.use_halo == -1 and not ctx.interpret)
+    hb = conv_halo_blocks(ind, fd, od, s, p, tune) \
+        if gen_ok and halo_on else None
+    use_pallas = gen_ok and s == (1, 1) and hb is None
     blocks = conv_blocks(ind, fd, od, tune) if use_pallas else None
-    use_s2d = (not ctx.use_ref and not tune.use_xla and tune.use_s2d
-               and s != (1, 1))
+    use_s2d = (gen_ok and tune.use_s2d and s != (1, 1) and hb is None)
 
-    if blocks is not None:
+    if hb is not None:
+        def fn(x, w, b):
+            xh = x.transpose(0, 2, 3, 1)
+            wh = w.transpose(2, 3, 1, 0)
+            out = pallas_conv2d_halo(xh, wh, b, stride=s, pad=p,
+                                     relu=bool(relu), hb=hb,
+                                     precision=tune.precision,
+                                     interpret=ctx.interpret)
+            return out.transpose(0, 3, 1, 2)
+        info = f"halo_conv {hb} s={s}"
+    elif blocks is not None:
         def fn(x, w, b):
             xh = x.transpose(0, 2, 3, 1)
             wh = w.transpose(2, 3, 1, 0)

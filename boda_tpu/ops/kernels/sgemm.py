@@ -49,10 +49,16 @@ def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, precision,
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def _matmul_bias_kernel(a_ref, b_ref, bias_ref, o_ref, acc_ref, *, n_k: int,
-                        precision, relu: bool):
-    """Matmul with fused bias(+ReLU) epilogue (the reference's fused
-    store+bias+ReLU expressions, ref cnn_codegen.cc:39)."""
+def _matmul_bias_kernel(a_ref, b_ref, bias_ref, *rest, n_k: int,
+                        precision, relu: bool, has_res: bool = False):
+    """Matmul with fused bias(+residual)(+ReLU) epilogue (the reference's
+    fused store+bias+ReLU expressions, ref cnn_codegen.cc:39; the residual
+    add plays Eltwise-sum fused into the producer's store)."""
+    if has_res:
+        res_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -63,6 +69,8 @@ def _matmul_bias_kernel(a_ref, b_ref, bias_ref, o_ref, acc_ref, *, n_k: int,
     @pl.when(pl.program_id(2) == n_k - 1)
     def _store():
         acc = acc_ref[:] + bias_ref[:].astype(jnp.float32)
+        if has_res:
+            acc = acc + res_ref[:].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
         o_ref[:] = acc.astype(o_ref.dtype)
@@ -70,9 +78,10 @@ def _matmul_bias_kernel(a_ref, b_ref, bias_ref, o_ref, acc_ref, *, n_k: int,
 
 def pallas_matmul(a, b, bias=None, *, bm: int, bn: int, bk: int, out_dtype=None,
                   precision: str = "highest", relu: bool = False,
-                  interpret: bool = False):
-    """2D matmul a[M,K] @ b[K,N] (+ optional fused bias[N] and ReLU) with
-    (bm,bn,bk) blocking; pads to block multiples and slices the result back."""
+                  interpret: bool = False, residual=None):
+    """2D matmul a[M,K] @ b[K,N] (+ optional fused bias[N], residual[M,N]
+    and ReLU) with (bm,bn,bk) blocking; pads to block multiples and slices
+    the result back."""
     M, K = a.shape
     K2, N = b.shape
     assert K == K2, (a.shape, b.shape)
@@ -102,15 +111,21 @@ def pallas_matmul(a, b, bias=None, *, bm: int, bn: int, bk: int, out_dtype=None,
         pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
     ]
     if bias is None:
+        assert residual is None, "residual epilogue requires the bias kernel"
         out = pl.pallas_call(
             functools.partial(_matmul_kernel, n_k=n_k, precision=prec, relu=relu),
             in_specs=ab_specs, **common)(a, b)
     else:
         bias2d = jnp.pad(bias.reshape(1, N), ((0, 0), (0, np_ - N)))
+        in_specs = ab_specs + [pl.BlockSpec((1, bn), lambda i, j, k: (0, j))]
+        args = [a, b, bias2d]
+        if residual is not None:
+            in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)))
+            args.append(pad2d(residual, mp, np_))
         out = pl.pallas_call(
-            functools.partial(_matmul_bias_kernel, n_k=n_k, precision=prec, relu=relu),
-            in_specs=ab_specs + [pl.BlockSpec((1, bn), lambda i, j, k: (0, j))],
-            **common)(a, b, bias2d)
+            functools.partial(_matmul_bias_kernel, n_k=n_k, precision=prec,
+                              relu=relu, has_res=residual is not None),
+            in_specs=in_specs, **common)(*args)
     if (mp, np_) != (M, N):
         out = out[:M, :N]
     return out

@@ -33,6 +33,11 @@ class OpTune:
     # in context. The variant policy only allows it for k>1 (1x1 stride-2 is
     # a pure subsample — XLA wins there standalone too).
     use_s2d: bool = False
+    # v2 direct conv: element-window halo reads (no host-side gather), any
+    # stride handled in-kernel. -1 = auto (on for compiled runs, off in
+    # interpreter mode where emulated DMA is very slow); 1 = force on;
+    # 0 = v1 gather kernel / s2d / XLA policy chain.
+    use_halo: int = -1
     # precision / layout
     acc_tn: str = "float32"   # accumulation dtype (always f32 on MXU)
     in_tn: str = ""           # compute dtype override ('' = keep input dtype)
