@@ -208,6 +208,18 @@ class TestDense(Mode):
             sys.exit(1)
 
 
+def _clip_feat_region(coords, prob_shape):
+    """Clip a placement's feature-coordinate box to the valid (non-empty)
+    range of the prob map: tiny scales near the min support size can round
+    past the map edge, which would yield empty slices (NaN means)."""
+    fy0, fx0, fy1, fx1 = coords
+    fy0 = min(max(fy0, 0), prob_shape[2] - 1)
+    fx0 = min(max(fx0, 0), prob_shape[3] - 1)
+    fy1 = min(max(fy1, fy0 + 1), prob_shape[2])
+    fx1 = min(max(fx1, fx0 + 1), prob_shape[3])
+    return fy0, fx0, fy1, fx1
+
+
 @register("mode", "predict_dense", help="dense multi-scale class heatmaps via fc->conv + pyramid")
 class PredictDense(Mode):
     """The reference's dense multi-scale prediction story (cnet_predict
@@ -226,6 +238,18 @@ class PredictDense(Mode):
     out_node_name = Field(str, default="prob", help="dense prob node")
     top_n = Field(int, default="3", help="top classes per scale")
     write_heatmap = Field(str, default="", help="write argmax-prob heatmap PNG")
+    # annotation pipeline (temporal EMA filter + coverage-grid NMS, ref
+    # caffeif.cc:399-560); n_frames>1 feeds the same image repeatedly to
+    # exercise the filter's convergence (video stand-in)
+    annos = Field(bool, default="0", help="emit NMS'd box annotations")
+    n_frames = Field(int, default="1", help="filter update rounds")
+    filt_rate = Field(float, default="0.2", help="EMA rate (<1)")
+    filt_show_thresh = Field(float, default="0.02", help="display-on threshold")
+    filt_drop_thresh = Field(float, default="0.005", help="display-off threshold")
+    nms_grid_pels = Field(int, default="25", help="nms coverage grid cell size")
+    nms_core_rat = Field(float, default="0.75", help="core shrink for coverage")
+    max_num_disp = Field(int, default="20", help="max total displayed items")
+    max_labels_per_anno = Field(int, default="5", help="max labels per box")
 
     def main(self) -> None:
         from ..apps.preproc import img_to_batch_np
@@ -248,10 +272,9 @@ class PredictDense(Mode):
               f"dims={outs[self.out_node_name].dims} "
               f"stride={csi.support_stride}")
         for i, p in enumerate(pack.placements):
-            fy0, fx0, fy1, fx1 = feat_coords_of_placement(
-                p, csi.support_stride, csi.eff_tot_pad)
-            fy1 = min(max(fy1, fy0 + 1), prob.shape[2])
-            fx1 = min(max(fx1, fx0 + 1), prob.shape[3])
+            fy0, fx0, fy1, fx1 = _clip_feat_region(
+                feat_coords_of_placement(p, csi.support_stride,
+                                         csi.eff_tot_pad), prob.shape)
             sub = prob[p.plane, :, fy0:fy1, fx0:fx1]
             mean_prob = sub.reshape(sub.shape[0], -1).mean(axis=1)
             top = np.argsort(-mean_prob)[: self.top_n]
@@ -267,6 +290,40 @@ class PredictDense(Mode):
                 Img.from_rgb(rgb).save(
                     self.out_path(f"{self.write_heatmap}_{pl}.png"))
             print(f"wrote {n_planes} heatmap plane(s)")
+        if self.annos:
+            from ..apps.pred_state import PredState, feat_pel_img_boxes
+            n_cls = prob.shape[1]
+            ps = PredState(
+                n_cls, filt_rate=self.filt_rate,
+                filt_show_thresh=self.filt_show_thresh,
+                filt_drop_thresh=self.filt_drop_thresh,
+                nms_grid_pels=(self.nms_grid_pels, self.nms_grid_pels),
+                nms_core_rat=self.nms_core_rat,
+                max_num_disp=self.max_num_disp,
+                max_labels_per_anno=self.max_labels_per_anno)
+            regions = []
+            for p in pack.placements:
+                fy0, fx0, fy1, fx1 = _clip_feat_region(
+                    feat_coords_of_placement(p, csi.support_stride,
+                                             csi.eff_tot_pad), prob.shape)
+                boxes = feat_pel_img_boxes(
+                    fy0, fx0, fy1, fx1, csi.support_stride, csi.support_sz,
+                    csi.eff_tot_pad, (p.sz[0], p.sz[1]),
+                    (img.rgb().shape[0], img.rgb().shape[1]))
+                regions.append((ps.add_scale(boxes), p.plane,
+                                (fy0, fx0, fy1, fx1)))
+            for _frame in range(max(1, self.n_frames)):
+                for sp, plane, (fy0, fx0, fy1, fx1) in regions:
+                    sub = prob[plane, :, fy0:fy1, fx0:fx1]
+                    ps.update_scale(sp, sub.reshape(n_cls, -1))
+            out_annos = ps.annos()
+            for a in out_annos:
+                items = ", ".join(f"cls{l}:filt={fp:.4f}:p={cp:.4f}"
+                                  for l, fp, cp in a.items)
+                print(f"anno box=({a.box[0]},{a.box[1]},{a.box[2]},{a.box[3]})"
+                      f" {items}")
+            print(f"predict_dense: {len(out_annos)} annos "
+                  f"({self.n_frames} filter frames)")
 
 
 @register("mode", "test_upsamp", help="2x-upsampled-net vs original-net equivalence")
