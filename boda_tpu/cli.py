@@ -23,6 +23,17 @@ def run_mode_lexp(l) -> None:
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
+    # honor a user-set JAX_PLATFORMS even under environments whose
+    # sitecustomize force-registers an accelerator and pins jax_platforms in
+    # config (the env var alone is silently ignored there); must run before
+    # first jax backend use. "axon" entries are the sitecustomize's own
+    # baseline value, not user intent — never re-apply those (doing so would
+    # clobber an embedding caller's explicit jax.config platform choice).
+    import os
+    env_plats = os.environ.get("JAX_PLATFORMS", "")
+    if env_plats and "axon" not in env_plats.split(","):
+        import jax
+        jax.config.update("jax_platforms", env_plats)
     default_cfg_init()
     try:
         if not argv or argv[0] in ("help", "--help", "-h"):

@@ -165,7 +165,11 @@ def pipe_from_netparam(npm: dict, weights: dict | None = None, img: int = 0,
                 data = np.asarray(blob.data, dtype=np.float32)
                 nda = wshaper(data)
             else:
-                nda = wshaper(None, seed=(rng_seed + wi + stable_hash(lname)) % 2 ** 31)
+                # deterministic init, lazily materialized: analysis-only
+                # flows (cnet_ana etc.) never pay the randn fill
+                seed = (rng_seed + wi + stable_hash(lname)) % 2 ** 31
+                nda = NDA.lazy(wshaper.dims,
+                               lambda ws=wshaper, sd=seed: ws(None, seed=sd).data)
             pipe.weights[wname] = nda
             pipe.get_or_make_node(wname).dims = nda.dims
             op.bots.append(wname)
@@ -211,6 +215,7 @@ def _winit_shaper(dims: Dims, fan_in: int):
             std = np.sqrt(2.0 / max(fan_in, 1))
             data = (rng.randn(*dims.shape) * std).astype(np.float32)
         return NDA(dims, np.asarray(data, np.float32).reshape(dims.shape))
+    shaper.dims = dims
     return shaper
 
 
@@ -237,6 +242,7 @@ def _deconv_winit_shaper(dims: Dims, in_c: int, groups: int, fan_in: int):
         if groups == 1:
             arr = arr.reshape(in_c, oc, dims["y"], dims["x"]).transpose(1, 0, 2, 3)
         return NDA(dims, np.ascontiguousarray(arr.reshape(dims.shape)))
+    shaper.dims = dims
     return shaper
 
 
@@ -245,6 +251,7 @@ def _zero_shaper(dims: Dims):
         if data is None:
             data = np.zeros(dims.shape, np.float32)
         return NDA(dims, np.asarray(data, np.float32).reshape(dims.shape))
+    shaper.dims = dims
     return shaper
 
 
@@ -253,6 +260,7 @@ def _const_shaper(dims: Dims, value: float):
         if data is None:
             data = np.full(dims.shape, value, np.float32)
         return NDA(dims, np.asarray(data, np.float32).reshape(dims.shape))
+    shaper.dims = dims
     return shaper
 
 
@@ -398,6 +406,7 @@ def _ones_shaper(dims: Dims):
         if data is None:
             data = np.ones(dims.shape, np.float32)
         return NDA(dims, np.asarray(data, np.float32).reshape(dims.shape))
+    shaper.dims = dims
     return shaper
 
 

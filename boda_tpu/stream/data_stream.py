@@ -328,7 +328,7 @@ class PrintSink(DataStream):
 
 @register("data_stream", "block-file-sink", help="write a binary block-stream file")
 class BlockFileSink(DataStream):
-    fn = Field(str, req=True, help="output file")
+    fn = Field("filename", req=True, help="output file")
 
     def start(self) -> None:
         self._blocks: list[DataBlock] = []
@@ -343,7 +343,7 @@ class BlockFileSink(DataStream):
 
 @register("data_stream", "csv-sink", help="write nda blocks as csv rows")
 class CsvSink(DataStream):
-    fn = Field(str, req=True, help="output csv")
+    fn = Field("filename", req=True, help="output csv")
 
     def start(self) -> None:
         self._f = open(self.fn, "w")
@@ -499,7 +499,7 @@ class PcapSrc(DataStream):
 @register("data_stream", "pcap-sink",
           help="write blocks as UDP packets in a pcap file")
 class PcapSink(DataStream):
-    fn = Field(str, req=True, help="output .pcap file")
+    fn = Field("filename", req=True, help="output .pcap file")
     udp_dest_port = Field(int, default="2368", help="udp dest port to stamp")
 
     def start(self) -> None:
@@ -590,7 +590,7 @@ class MxnetBrickSrc(DataStream):
 @register("data_stream", "mxnet-brick-sink",
           help="write blocks as mxnet-brick (RecordIO) records")
 class MxnetBrickSink(DataStream):
-    fn = Field(str, req=True, help="output brick file")
+    fn = Field("filename", req=True, help="output brick file")
     split_at = Field(int, default="0",
                      help="if nonzero, split records into chunks of this size")
 

@@ -189,6 +189,10 @@ class NDA:
         self.data = data
 
     @staticmethod
+    def lazy(dims: "Dims", thunk) -> "NDA":
+        return _LazyNDA(dims, thunk)
+
+    @staticmethod
     def from_array(a: np.ndarray, names: Optional[Sequence[str]] = None,
                    tn: Optional[str] = None) -> "NDA":
         a = np.asarray(a)
@@ -200,3 +204,25 @@ class NDA:
 
     def __repr__(self) -> str:
         return f"NDA({self.dims}, mean={float(np.mean(self.data.astype(np.float64))):.6g})"
+
+
+class _LazyNDA(NDA):
+    """NDA whose data materializes on first access. Used for generated
+    (deterministic-init) weights so analysis-only flows (cnet_ana,
+    gen_prof_ops, frontend parse tests) never pay for 100M-element randn
+    fills; materialized values are bit-identical to the eager path."""
+
+    __slots__ = ("_thunk", "_mat")
+
+    def __init__(self, dims: "Dims", thunk):
+        self.dims = dims
+        self._thunk = thunk
+        self._mat = None
+
+    @property
+    def data(self) -> np.ndarray:  # shadows the parent slot descriptor
+        if self._mat is None:
+            self._mat = np.asarray(self._thunk(), dtype=np_dtype(self.dims.tn))
+            assert tuple(self._mat.shape) == self.dims.shape, \
+                (self._mat.shape, self.dims)
+        return self._mat

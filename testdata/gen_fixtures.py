@@ -1,0 +1,59 @@
+"""Regenerate the committed binary test fixtures (deterministic).
+
+Run from the repo root: python testdata/gen_fixtures.py
+Produces: lmdb/cifar_mini.rec (datum records in the block-stream container),
+streams/velo.dat (synthetic VLP-16 packets). Text fixtures (score/, voc/)
+are hand-written and not touched here.
+"""
+
+import os
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+TD = os.path.dirname(os.path.abspath(__file__))
+
+
+def gen_rec():
+    from boda_tpu.frontend.datum import encode_datum, rgb_to_datum, \
+        write_rec_records
+    rng = np.random.RandomState(42)
+    recs = []
+    for i in range(8):
+        rgb = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        d = rgb_to_datum(rgb, label=i % 4)
+        recs.append((f"{i:08d}", encode_datum(d)))
+    os.makedirs(os.path.join(TD, "lmdb"), exist_ok=True)
+    fn = os.path.join(TD, "lmdb", "cifar_mini.rec")
+    write_rec_records(fn, recs)
+    print(f"wrote {fn} ({len(recs)} records)")
+
+
+def gen_velo():
+    """3 packets, 12 blocks each: azimuth sweeps, ramp distances."""
+    rng = np.random.RandomState(7)
+    pkts = []
+    for p in range(3):
+        buf = b""
+        for b in range(12):
+            az = (p * 12 + b) * 20  # 0.2 deg steps
+            buf += struct.pack("<HH", 0xEEFF, az % 36000)
+            for ch in range(32):
+                dist = 500 + 10 * ch + 100 * p  # 2mm units
+                refl = int(rng.randint(0, 256))
+                buf += struct.pack("<HB", dist, refl)
+        buf += struct.pack("<IH", p * 1000, 0x2237)
+        assert len(buf) == 1206, len(buf)
+        pkts.append(buf)
+    os.makedirs(os.path.join(TD, "streams"), exist_ok=True)
+    fn = os.path.join(TD, "streams", "velo.dat")
+    with open(fn, "wb") as f:
+        f.write(b"".join(pkts))
+    print(f"wrote {fn} ({len(pkts)} packets)")
+
+
+if __name__ == "__main__":
+    gen_rec()
+    gen_velo()
