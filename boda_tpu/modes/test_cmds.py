@@ -43,8 +43,11 @@ def diff_file(good_fn: str, new_fn: str) -> str:
         n = DigestStream.load(new_fn).as_dict()
         if set(g) != set(n):
             return f"digest entries differ: {sorted(set(g) ^ set(n))}\n"
+        # 1e-3: loose enough for cross-process XLA config variance (thread
+        # partitioning changes f32 reduction order; deep nets accumulate to
+        # ~5e-4), far below real divergence (the perturbation test is 0.5)
         bad = [f"{k}: mrd {g[k].mrd_comp(n[k]):.3g}\n"
-               for k in g if g[k].mrd_comp(n[k]) > 1e-5]
+               for k in g if g[k].mrd_comp(n[k]) > 1e-3]
         return "".join(bad)
     if filecmp.cmp(good_fn, new_fn, shallow=False):
         return ""

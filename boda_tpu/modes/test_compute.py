@@ -92,7 +92,9 @@ class TestCompute(Mode):
                         print(f"FAIL win={win} node={node}: digest mrd {mrd:.3g} "
                               f"vs stored known-good (toler {toler:g})")
         if self.write_digests_fn:
-            out_stream.save(self.write_digests_fn)
+            # resolve into the output dir (archived + digest-compared by the
+            # golden harness); print the relative name for stable goldens
+            out_stream.save(self.out_path(self.write_digests_fn))
             print(f"wrote {len(out_stream.entries)} digests to {self.write_digests_fn}")
         status = "PASS" if n_fail == 0 else f"FAIL ({n_fail} mismatches)"
         print(f"test_compute {pipe.name} engines={names} wins={self.n_wins} "
