@@ -377,6 +377,11 @@ class PallasFwd(FwdEngine):
     # conv output per residual block; no reference analog — the reference
     # never fused across eltwise)
     fuse_eltwise = Field(bool, default="1", help="fuse residual add into conv stores")
+    # int8 MXU inference: dynamic symmetric quantization of conv/fc compute
+    # (per-tensor act scales, per-out-channel weight scales, int32 acc).
+    # See OpTune.int8 — this sets the engine-wide default; per-op tunes can
+    # override (e.g. keep a sensitive layer in bf16 via per_op_tune).
+    int8 = Field(bool, default="0", help="int8 MXU conv/fc compute")
     # autotuning wisdom: best recorded tune per op signature + platform
     # (ref: per-op tune selection from wisdom files, op-tuner.cc)
     wisdom_fn = Field("filename", default="", help="wisdom file for per-op tunes")
@@ -389,7 +394,7 @@ class PallasFwd(FwdEngine):
         (see NOTES_ROUND2 / round-1 verdict)."""
         from ..utils.dims import stable_hash
         cfg = (self.layout, bool(self.fuse_relu), bool(self.fuse_eltwise),
-               self.compute_tn, self.precision)
+               self.compute_tn, self.precision, bool(self.int8))
         return f"{stable_hash(repr(cfg)) & 0xFFFFFFFF:08x}"
 
     def wisdom_plats(self) -> tuple[str, str]:
@@ -451,6 +456,8 @@ class PallasFwd(FwdEngine):
             if self.compute_tn == "bfloat16":
                 prec = "default"
             tune = dataclasses.replace(tune, precision=prec)
+        if self.int8 and (t is None or t.get_kid("int8") is None):
+            tune = dataclasses.replace(tune, int8=True)
         return tune
 
     def _build_sharded_fn(self, raw, in_names, out_names) -> Callable:
@@ -650,7 +657,10 @@ class PallasFwd(FwdEngine):
             bck_fn = self._lower_bck_conv_pallas(pipe, op, fwd, ctx)
             if bck_fn is not None:
                 return bck_fn
-            xla_tune = dataclasses.replace(self.op_tune(fwd.name), use_xla=True)
+            # int8=False: quantized compute rounds (zero-gradient); training
+            # always differentiates the f32/bf16 math (int8 is inference-only)
+            xla_tune = dataclasses.replace(self.op_tune(fwd.name),
+                                           use_xla=True, int8=False)
             r = lower_op_nhwc(pipe, fwd, ctx, xla_tune, self._info_log)
             if r is None:
                 raise PipeError(f"no NHWC lowering for {fwd.type!r}")

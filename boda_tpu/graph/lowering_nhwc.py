@@ -76,6 +76,37 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
     if dil != (1, 1):  # atrous conv (SSD fc6): XLA path only for now
         import dataclasses
         tune = dataclasses.replace(tune, use_xla=True)
+
+    if tune.int8 and groups == 1 and dil == (1, 1):
+        # int8 MXU conv: symmetric dynamic quantization. Activations get a
+        # per-tensor scale computed on the fly (one fused max-reduce, no
+        # calibration state); weights get per-out-channel scales. int32
+        # accumulation via preferred_element_type, dequant+bias(+residual)
+        # (+ReLU) epilogue fuses into the conv's consumer ops.
+        info_log.append(f"{op.name}: nhwc-int8_conv s={s}")
+
+        def fn(x, w, b, residual=None):
+            wf = w.astype(jnp.float32)
+            ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)),
+                             1e-12) / 127.0
+            wq = jnp.round(wf / ws).astype(jnp.int8)
+            xf = x.astype(jnp.float32)
+            xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+            xq = jnp.round(xf / xs).astype(jnp.int8)
+            acc = lax.conv_general_dilated(
+                xq, wq, window_strides=s,
+                padding=[(p[0], p[0]), (p[1], p[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * (ws * xs).reshape(1, 1, 1, -1) \
+                + b.astype(jnp.float32).reshape(1, 1, 1, -1)
+            if residual is not None:
+                out = out + residual.astype(jnp.float32)
+            if relu:
+                out = jnp.maximum(out, 0.0)
+            return (out.astype(x.dtype),)
+        fn.supports_residual = True
+        return fn, preps
     if groups == 1 and not tune.use_xla and k == (1, 1) and p == (0, 0) \
             and tune.use_k1conv:
         M = od["img"] * od["y"] * od["x"]
@@ -206,12 +237,28 @@ def _nhwc_ip(pipe, op, ctx, tune, info_log):
         preps[op.bots[1]] = (prep, inv)
     M, K, N = ind["img"], fd["in_feats"], fd["out_chan"]
     bm, bn, bk = pick_matmul_blocks(M, K, N, tune, ind.tn)
-    info_log.append(f"{op.name}: nhwc-ip bm={bm} bn={bn} bk={bk}")
+    info_log.append(f"{op.name}: nhwc-ip{' int8' if tune.int8 else ''} "
+                    f"bm={bm} bn={bn} bk={bk}")
     prec = PRECISIONS[tune.precision]
     use_xla = tune.use_xla
 
+    int8 = tune.int8
+
     def fn(x, w, b):
         xf = x.reshape(x.shape[0], -1)
+        if int8:  # dynamic symmetric int8 (see _nhwc_conv)
+            wf = w.astype(jnp.float32)
+            ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-12) / 127.0
+            wq = jnp.round(wf / ws[:, None]).astype(jnp.int8)
+            xs = jnp.maximum(jnp.max(jnp.abs(xf.astype(jnp.float32))),
+                             1e-12) / 127.0
+            xq = jnp.round(xf.astype(jnp.float32) / xs).astype(jnp.int8)
+            out = jnp.dot(xq, wq.T, preferred_element_type=jnp.int32)
+            out = out.astype(jnp.float32) * (ws * xs)[None, :] \
+                + b.astype(jnp.float32)
+            if relu:
+                out = jnp.maximum(out, 0.0)
+            return (out.astype(x.dtype),)
         if use_xla:
             out = jnp.dot(xf, w.T, precision=prec,
                           preferred_element_type=jnp.float32) + b

@@ -38,6 +38,13 @@ class OpTune:
     # interpreter mode where emulated DMA is very slow); 1 = force on;
     # 0 = v1 gather kernel / s2d / XLA policy chain.
     use_halo: int = -1
+    # int8 MXU inference: symmetric dynamic quantization (per-tensor
+    # activation scale, per-out-channel weight scales) with int32
+    # accumulation. The TPU-native transcend of the reference's fixed-point
+    # keep_bits experiments (ref doc/quant-notes.txt, test/rtc/quantize.cucl):
+    # instead of emulating bit-drop in f32, actually run the MXU in int8
+    # (v5e: 394 TOPS int8 vs 197 TFLOP/s bf16).
+    int8: bool = False
     # precision / layout
     acc_tn: str = "float32"   # accumulation dtype (always f32 on MXU)
     in_tn: str = ""           # compute dtype override ('' = keep input dtype)

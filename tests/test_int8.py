@@ -1,0 +1,67 @@
+"""int8 MXU inference path: dynamic symmetric quantization of conv/fc.
+
+The TPU-native transcend of the reference's fixed-point quantization
+experiments (ref doc/quant-notes.txt, test/rtc/quantize.cucl,
+gen_op_quantize rtc_fwd.cc:212): instead of emulating bit-drop in f32,
+run the conv/fc compute in real int8 with int32 accumulation.
+Accuracy gates: classification agreement with the f32 engine."""
+
+import numpy as np
+import pytest
+
+from boda_tpu.cli import main
+from boda_tpu.config import make
+from boda_tpu.models.zoo import build_model
+from boda_tpu.ops.kernels.gen_data import gen_data_pattern
+from boda_tpu.utils.dims import NDA
+
+
+def _run_engine(model, img, **kw):
+    pipe, in_dims = build_model(model, img=img)
+    eng = make("conv_fwd", "pallas", **kw)
+    eng.init(pipe)
+    d = in_dims["data"]
+    x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
+    out = eng.run_fwd({"data": x}, ["prob"])["prob"].data
+    return out, eng
+
+
+def test_int8_top1_agreement_mini():
+    ref, _ = _run_engine("mini_resnet", 4)
+    q, eng = _run_engine("mini_resnet", 4, int8="1")
+    sel = [l for l in eng._info_log if "int8_conv" in l or "int8" in l]
+    assert sel, "int8 path not selected"
+    assert (ref.argmax(1) == q.argmax(1)).all()
+    assert float(np.abs(ref - q).max()) < 0.05  # prob-space quant error
+
+
+def test_int8_fc_path():
+    """alexnet-style net exercises the int8 InnerProduct branch too."""
+    ref, _ = _run_engine("firenet", 2)
+    q, eng = _run_engine("firenet", 2, int8="1")
+    assert (ref.argmax(1) == q.argmax(1)).all()
+
+
+def test_int8_per_op_override():
+    """per_op_tune can opt a layer back out of int8."""
+    from boda_tpu.utils.lexp import parse_lexp
+    q, eng = _run_engine("mini_resnet", 2, int8="1",
+                         per_op_tune={"conv1": parse_lexp("(int8=0)")})
+    sel = "\n".join(eng._info_log)
+    assert "conv1: nhwc-int8_conv" not in sel
+    assert "nhwc-int8_conv" in sel  # others still quantized
+
+
+def test_int8_accuracy_gate_lmdb(tmp_path, capsys):
+    """test_lmdb top-1/top-5 must agree between f32 and int8 engines
+    (the accuracy-gate flow of ref's ImageNet-val loop on the committed
+    record fixture)."""
+    outs = {}
+    for tag, eng in (("f32", "(mode=pallas)"), ("int8", "(mode=pallas,int8=1)")):
+        rc = main(["test_lmdb", "--rec-fn=testdata/lmdb/cifar_mini.rec",
+                   "--model=mini_resnet", "--img=4", f"--conv-fwd={eng}",
+                   f"--boda-output-dir={tmp_path}"])
+        assert rc == 0
+        outs[tag] = [ln for ln in capsys.readouterr().out.splitlines()
+                     if "top1" in ln]
+    assert outs["f32"] == outs["int8"] and outs["f32"]
