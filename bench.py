@@ -25,19 +25,20 @@ TITAN_X_RESNET50_IMG_S = 250.0
 
 
 def main() -> int:
-    # defaults: the TPU-native production-inference configuration (bf16 on the
-    # MXU, per-op tunes from the committed wisdom). f32-fidelity runs:
-    # BENCH_TN='' BENCH_PREC=highest (1198 img/s on v5e vs 5691 img/s bf16
-    # tuned at batch 32; fidelity is gated separately by test_compute's
-    # 1e-5 per-layer regression).
+    # defaults: the TPU-native production-inference configuration — bf16 on
+    # the MXU, whole-net NHWC single-jit with conv->BN->Scale->Eltwise->ReLU
+    # folding, and the library (XLA-conv) kernel policy, which measures 64%
+    # of v5e MXU peak whole-net (127 TF/s) vs 53 TF/s for the generated
+    # Pallas kernels (see executor.PallasFwd.kernel_policy). f32-fidelity
+    # runs: BENCH_TN='' BENCH_PREC=highest; fidelity is gated separately by
+    # test_compute's per-layer regression.
     model = os.environ.get("BENCH_MODEL", "resnet50")
     img = int(os.environ.get("BENCH_IMG", "32"))
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     prec = os.environ.get("BENCH_PREC", "default")
     ctn = os.environ.get("BENCH_TN", "bfloat16")
-    # note: committed wisdom files predate the conv->BN->ReLU chain folding;
-    # with folding, default tunes measure faster (5693 vs 5200 img/s), so no
-    # wisdom is applied unless BENCH_WISDOM is set (re-sweep in round 2).
+    policy = os.environ.get("BENCH_POLICY", "lib")
+    # per-op wisdom overrides (re-swept per engine-fusion fingerprint)
     wisdom = os.environ.get("BENCH_WISDOM", "")
 
     import boda_tpu.modes_all  # noqa: F401
@@ -50,6 +51,8 @@ def main() -> int:
     kw = {}
     if wisdom and engine == "pallas":
         kw["wisdom_fn"] = wisdom
+    if engine == "pallas":
+        kw["kernel_policy"] = policy
     eng = make("conv_fwd", engine, precision=prec, compute_tn=ctn, **kw)
     eng.init(pipe)
     d = in_dims["data"]
@@ -75,7 +78,7 @@ def main() -> int:
         "unit": "img/s",
         "vs_baseline": round(img_s / TITAN_X_RESNET50_IMG_S, 3),
         "detail": {"engine": engine, "precision": prec, "compute_tn": ctn,
-                   "img": img,
+                   "img": img, "kernel_policy": policy,
                    "secs_per_fwd": round(secs, 6),
                    "GF_per_s": round(fl * img / secs / 1e9, 1)},
     }))

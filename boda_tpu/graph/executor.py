@@ -382,6 +382,17 @@ class PallasFwd(FwdEngine):
     # See OpTune.int8 — this sets the engine-wide default; per-op tunes can
     # override (e.g. keep a sensitive layer in bf16 via per_op_tune).
     int8 = Field(bool, default="0", help="int8 MXU conv/fc compute")
+    # default conv/fc variant family. Measured on v5e (r50 bf16 b32, chained
+    # difference timing): the XLA conv lowering inside our fused NHWC program
+    # reaches 127 TF/s (64% MXU peak) vs 53 TF/s for the generated Pallas
+    # kernels — XLA's conv emitter IS the speed of light at inference batch
+    # sizes, so the library path is the default (the reference reached the
+    # opposite conclusion on Maxwell vs cuDNN; on TPU the tpu-first rule
+    # "don't hand-schedule what the compiler does better" wins). 'gen' forces
+    # the generated-kernel policy chain (k1conv/halo/direct/s2d) — used by
+    # the kernel-fidelity gates; explicit per-op/wisdom tunes always win.
+    kernel_policy = Field(str, default="lib",
+                          help="conv variant default: lib (XLA) | gen (generated kernels)")
     # autotuning wisdom: best recorded tune per op signature + platform
     # (ref: per-op tune selection from wisdom files, op-tuner.cc)
     wisdom_fn = Field("filename", default="", help="wisdom file for per-op tunes")
@@ -394,7 +405,8 @@ class PallasFwd(FwdEngine):
         (see NOTES_ROUND2 / round-1 verdict)."""
         from ..utils.dims import stable_hash
         cfg = (self.layout, bool(self.fuse_relu), bool(self.fuse_eltwise),
-               self.compute_tn, self.precision, bool(self.int8))
+               self.compute_tn, self.precision, bool(self.int8),
+               self.kernel_policy)
         return f"{stable_hash(repr(cfg)) & 0xFFFFFFFF:08x}"
 
     def wisdom_plats(self) -> tuple[str, str]:
@@ -458,6 +470,15 @@ class PallasFwd(FwdEngine):
             tune = dataclasses.replace(tune, precision=prec)
         if self.int8 and (t is None or t.get_kid("int8") is None):
             tune = dataclasses.replace(tune, int8=True)
+        # library-default policy: only when no explicit per-op/wisdom tune
+        # exists (an explicit tune is a full variant choice — e.g. wisdom
+        # naming kernel blocks implies the generated family) and the
+        # engine-level tune doesn't mention use_xla
+        explicit = t is not None and bool(
+            t.leaf_val if t.is_leaf else t.kids)
+        if self.kernel_policy == "lib" and not explicit \
+                and "use_xla" not in str(self.tune):
+            tune = dataclasses.replace(tune, use_xla=True)
         return tune
 
     def _build_sharded_fn(self, raw, in_names, out_names) -> Callable:

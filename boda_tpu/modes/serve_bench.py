@@ -31,6 +31,13 @@ class ServeBench(Mode):
     n_threads = Field(int, default="0", help="native loader threads (0=ncpu)")
     pipeline_depth = Field(int, default="2", help="in-flight batches")
     out_node_name = Field(str, default="prob", help="output node")
+    # decode-decoupled mode: pre-decode cache_batches batches once, then
+    # serve n_batches by cycling them host-side (still re-uploading uint8 +
+    # preprocessing on device per batch). Measures the serving pipeline's
+    # ceiling independent of jpeg-decode CPU capacity — on a 1-core host the
+    # decoder caps ~150 img/s no matter how fast the engine is (the
+    # reference's capture loop had the same camera/decode bound).
+    cache_batches = Field(int, default="0", help="pre-decode N batches, cycle them")
 
     def main(self) -> None:
         import jax
@@ -62,26 +69,48 @@ class ServeBench(Mode):
                               dev)
         served(weights, warm).block_until_ready()
 
-        t0 = time.perf_counter()
         inflight = []
         n_done = 0
-        with BatchLoader(paths, self.img, d["y"], d["x"],
-                         n_threads=self.n_threads) as loader:
-            while True:
-                r = loader.next()
-                if r is None:
-                    break
-                _, rgba = r
-                u8 = jax.device_put(rgba, dev)
+        if self.cache_batches > 0:
+            cache = []
+            cpaths = paths[: self.cache_batches * self.img]
+            with BatchLoader(cpaths, self.img, d["y"], d["x"],
+                             n_threads=self.n_threads) as loader:
+                while True:
+                    r = loader.next()
+                    if r is None:
+                        break
+                    cache.append(np.ascontiguousarray(r[1]))
+            t0 = time.perf_counter()
+            for i in range(self.n_batches):
+                u8 = jax.device_put(cache[i % len(cache)], dev)
                 inflight.append(served(weights, u8))
                 if len(inflight) > self.pipeline_depth:
                     inflight.pop(0).block_until_ready()
                 n_done += 1
             for o in inflight:
                 o.block_until_ready()
-        secs = time.perf_counter() - t0
+            secs = time.perf_counter() - t0
+        else:
+            t0 = time.perf_counter()
+            with BatchLoader(paths, self.img, d["y"], d["x"],
+                             n_threads=self.n_threads) as loader:
+                while True:
+                    r = loader.next()
+                    if r is None:
+                        break
+                    _, rgba = r
+                    u8 = jax.device_put(rgba, dev)
+                    inflight.append(served(weights, u8))
+                    if len(inflight) > self.pipeline_depth:
+                        inflight.pop(0).block_until_ready()
+                    n_done += 1
+                for o in inflight:
+                    o.block_until_ready()
+            secs = time.perf_counter() - t0
         img_s = n_done * self.img / secs
         print(json.dumps({"mode": "serve_bench", "net": pipe.name,
                           "batches": n_done, "img": self.img,
                           "img_per_sec": round(img_s, 1),
-                          "secs": round(secs, 3)}))
+                          "secs": round(secs, 3),
+                          "cached": bool(self.cache_batches)}))

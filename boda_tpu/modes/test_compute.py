@@ -29,7 +29,7 @@ class TestCompute(Mode):
     weights_fn = Field("filename", default="", help="caffemodel path")
     img = Field(int, default="2", help="batch size")
     in_sz = Field(int, default="0", help="input size override")
-    engines = Field((dict, "conv_fwd"), default="(oracle=(mode=xla),pallas=(mode=pallas))",
+    engines = Field((dict, "conv_fwd"), default="(oracle=(mode=xla),pallas=(mode=pallas,kernel_policy=gen))",
                     help="engines; first is the comparison baseline")
     n_wins = Field(int, default="2", help="number of input windows to test")
     mrd_toler = Field(float, default="5e-4", help="default per-layer tolerance")

@@ -149,7 +149,8 @@ def test_pallas_bck_conv_kernels_selected_and_match():
     res = {}
     logs = {}
     for engine in ("xla", "pallas"):
-        eng = make("conv_fwd", engine)
+        kw = {"kernel_policy": "gen"} if engine == "pallas" else {}
+        eng = make("conv_fwd", engine, **kw)
         eng.init(pipe)
         res[engine] = eng.run_fwd(
             {"data": NDA(in_dims["data"], x),

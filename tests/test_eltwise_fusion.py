@@ -24,7 +24,9 @@ def _run_engines(pipe, in_dims, nodes, seed=0, **pallas_kw):
             rng.randn(*in_dims["data"].shape).astype(np.float32))
     res = {}
     for engine in ("xla", "pallas"):
-        eng = make("conv_fwd", engine, **(pallas_kw if engine == "pallas" else {}))
+        eng = make("conv_fwd", engine,
+                   **({"kernel_policy": "gen", **pallas_kw}
+                      if engine == "pallas" else {}))
         eng.init(pipe)
         res[engine] = eng.run_fwd({"data": x}, nodes)
         res[engine + "_eng"] = eng

@@ -89,7 +89,8 @@ def test_s2d_conv_matches_xla():
     ref = make("conv_fwd", "xla")
     ref.init(pipe)
     want = ref.run_fwd({"data": x}, ["prob"])["prob"].data
-    eng = make("conv_fwd", "pallas", tune=parse_lexp("(use_s2d=1)"))
+    eng = make("conv_fwd", "pallas", kernel_policy="gen",
+              tune=parse_lexp("(use_s2d=1)"))
     eng.init(pipe)
     got = eng.run_fwd({"data": x}, ["prob"])["prob"].data
     assert "s2d_conv" in eng.get_info_log()
