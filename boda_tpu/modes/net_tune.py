@@ -27,8 +27,10 @@ class NetTune(Mode):
                      default="(mode=pallas,compute_tn=bfloat16,precision=default)",
                      help="engine template (per_op_tune is overridden)")
     candidates = Field((dict, "lexp"),
-                       default="(kg=(),big=(bm=512,bn=512,bk=256),xla=(use_xla=1),"
-                               "nohalo=(use_halo=0),ch8=(chunk=8),ch16=(chunk=16))",
+                       default="(lib=(use_xla=1),kg=(use_xla=0),"
+                               "big=(use_xla=0,bm=512,bn=512,bk=256),"
+                               "nohalo=(use_xla=0,use_halo=0),"
+                               "ch8=(use_xla=0,chunk=8))",
                        help="tune candidates per signature group")
     max_groups = Field(int, default="0", help="limit swept groups (0=all, hottest first)")
     n_iters = Field(int, default="10", help="timing iterations per config")

@@ -418,6 +418,109 @@ class AddImgPts(DataStream):
         return blk
 
 
+@register("data_stream", "velo-src",
+          help="velodyne raw packet file -> (N,4) point blocks per packet")
+class VeloSrc(DataStream):
+    """File of raw 1206-byte VLP-16 packets -> one (N,4) x/y/z/refl point
+    block per packet (the source role of ref src/data-stream-velo.cc)."""
+    fn = Field("filename", req=True, help="raw packet file")
+
+    def start(self) -> None:
+        from .velodyne import PACKET_BYTES
+        with open(self.fn, "rb") as f:
+            data = f.read()
+        self._pkts = [data[i:i + PACKET_BYTES]
+                      for i in range(0, len(data) - PACKET_BYTES + 1,
+                                     PACKET_BYTES)]
+        self._ix = 0
+
+    def read(self):
+        from ..utils.dims import NDA
+        from .velodyne import packet_to_points_vlp16
+        if self._ix >= len(self._pkts):
+            return None
+        pts = packet_to_points_vlp16(self._pkts[self._ix])
+        blk = DataBlock(ts=self._ix, tag="velo-pts",
+                        nda=NDA.from_array(pts.astype(np.float32),
+                                           ("pt", "attr")))
+        self._ix += 1
+        return blk
+
+
+@register("data_stream", "render-pts",
+          help="perspective-render (N,>=3) point blocks (pinhole + z-buffer)")
+class RenderPts(DataStream):
+    """3D perspective point renderer — the full role of the reference's
+    OSMesa point-cloud renderer (ref src/os-render.cc:80 render_pts: GL
+    camera at eye_pos looking at look_at, gluPerspective(fov), point
+    splats), implemented as a software pinhole camera with a z-buffer so
+    nearer points win, no GL needed. Points color by reflectance (column 3)
+    through a green-hot ramp; background black."""
+    src = Field("data_stream", req=True, help="upstream point source")
+    img_y = Field(int, default="256", help="output image height")
+    img_x = Field(int, default="384", help="output image width")
+    fov_deg = Field(float, default="60.0", help="vertical field of view")
+    eye = Field((list, float), default="(x=0,y=-20,z=10)",
+                help="camera position (meters)")
+    look_at = Field((list, float), default="(x=0,y=0,z=0)", help="aim point")
+    pt_sz = Field(int, default="2", help="splat size in pixels")
+
+    def start(self) -> None:
+        self.src.start()
+        eye = np.array(list(self.eye) or [0.0, -20.0, 10.0], np.float32)
+        tgt = np.array(list(self.look_at) or [0.0, 0.0, 0.0], np.float32)
+        fwd = tgt - eye
+        fwd = fwd / max(np.linalg.norm(fwd), 1e-9)
+        up0 = np.array([0.0, 0.0, 1.0], np.float32)
+        if abs(float(fwd @ up0)) > 0.99:  # looking straight up/down
+            up0 = np.array([0.0, 1.0, 0.0], np.float32)
+        right = np.cross(fwd, up0)
+        right = right / max(np.linalg.norm(right), 1e-9)
+        up = np.cross(right, fwd)
+        self._eye, self._rot = eye, np.stack([right, up, fwd])  # world->cam
+
+    def read(self):
+        blk = self.src.read()
+        if blk is None or blk.nda is None or blk.nda.data.ndim != 2 \
+                or blk.nda.data.shape[1] < 3:
+            return blk
+        pts = blk.nda.data.astype(np.float32)
+        cam = (pts[:, :3] - self._eye) @ self._rot.T  # (right, up, fwd)
+        z = cam[:, 2]
+        ok = z > 0.1  # near clip
+        cam, z = cam[ok], z[ok]
+        refl = pts[ok, 3] if pts.shape[1] > 3 else np.full(len(z), 255.0)
+        h, w = self.img_y, self.img_x
+        f = (h / 2.0) / np.tan(np.radians(self.fov_deg) / 2.0)
+        xs = (w / 2.0 + f * cam[:, 0] / z).astype(np.int32)
+        ys = (h / 2.0 - f * cam[:, 1] / z).astype(np.int32)
+        img = np.zeros((h, w, 4), np.uint8)
+        img[:, :, 3] = 255
+        zbuf = np.full((h, w), np.inf, np.float32)
+        r = max(int(self.pt_sz), 1)
+        inb = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        xs, ys, z, refl = xs[inb], ys[inb], z[inb], refl[inb]
+        # z-buffered splat: paint far-to-near so near points overwrite
+        order = np.argsort(-z)
+        for i in order:
+            y0, y1 = max(ys[i] - r // 2, 0), min(ys[i] + (r + 1) // 2, h)
+            x0, x1 = max(xs[i] - r // 2, 0), min(xs[i] + (r + 1) // 2, w)
+            if z[i] >= zbuf[y0:y1, x0:x1].min():
+                sub = zbuf[y0:y1, x0:x1]
+                m = z[i] < sub
+                if not m.any():
+                    continue
+            else:
+                m = np.ones((y1 - y0, x1 - x0), bool)
+            g = np.uint8(min(255.0, 64.0 + refl[i] * 0.75))
+            reg = img[y0:y1, x0:x1]
+            reg[m] = (g // 3, g, g // 4, 255)
+            zbuf[y0:y1, x0:x1][m] = z[i]
+        from ..utils.dims import NDA
+        blk.nda = NDA.from_array(img, ("y", "x", "c"))
+        return blk
+
+
 # -- pcap (packet capture) src/sink ------------------------------------------------------
 # format per the libpcap file layout (ref src/data-stream-pcap.cc:45-107:
 # pcap_hdr_t/pcaprec_hdr_t; UDP-payload extraction :140-163)

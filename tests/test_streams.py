@@ -326,3 +326,51 @@ def test_comp_ndas_mode(tmp_path, capsys):
     rc = main(["comp_ndas", f"--a-fn={tmp_path}/a.boda",
                f"--b-fn={tmp_path}/b.boda", f"--boda-output-dir={tmp_path}"])
     assert rc == 1
+
+
+# -- velo-src + render-pts (3D perspective renderer, ref os-render.cc:80) ----
+
+def test_velo_src_stream(tmp_path):
+    src = make("data_stream", "velo-src", fn="testdata/streams/velo.dat")
+    src.start()
+    blks = []
+    while True:
+        b = src.read()
+        if b is None:
+            break
+        blks.append(b)
+    assert len(blks) == 3
+    assert blks[0].nda.data.shape[1] == 4  # x,y,z,refl
+
+
+def test_render_pts_perspective_zbuffer():
+    import numpy as np
+
+    from boda_tpu.stream.data_stream import DataBlock
+    from boda_tpu.utils.dims import NDA as _NDA
+    # two points on the camera axis: near must win the center pixel
+    pts = np.array([[0, 0, 0, 200.0],     # far (eye at y=-20 -> z=20)
+                    [0, -10, 5, 40.0]],   # near (z~11), dimmer
+                   np.float32)
+
+    class OneShot:
+        def start(self):
+            self._done = False
+
+        def read(self):
+            if self._done:
+                return None
+            self._done = True
+            return DataBlock(ts=0, nda=_NDA.from_array(pts, ("pt", "attr")))
+
+    r = make("data_stream", "render-pts", src=OneShot(), img_y=64, img_x=64,
+             eye=[0.0, -20.0, 5.0], look_at=[0.0, 0.0, 5.0], pt_sz=1)
+    r.start()
+    img = r.read().nda.data
+    assert img.shape == (64, 64, 4)
+    g = img[:, :, 1]
+    assert (g > 0).sum() >= 2  # both points rendered somewhere
+    # center pixel: the near point's dimmer green wins via the z-buffer
+    cy, cx = np.unravel_index(np.argmax(g * (g < 255)), g.shape)
+    center = img[32, 32, 1]
+    assert center == np.uint8(min(255.0, 64.0 + 40.0 * 0.75)), center
