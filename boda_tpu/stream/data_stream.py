@@ -725,7 +725,7 @@ class MxnetBrickSink(DataStream):
 
 # -- gated format-specific streams ------------------------------------------------------
 
-for _fmt in ("ffmpeg", "rosbag"):
+for _fmt in ("ffmpeg",):
     def _make(fmt):
         @register("data_stream", f"{fmt}-src",
                   help=f"{fmt} source (not available in this build)")
@@ -738,3 +738,39 @@ for _fmt in ("ffmpeg", "rosbag"):
                     f"build (reference gates it behind a build feature too)")
         return _Gated
     _make(_fmt)
+
+
+@register("data_stream", "rosbag-src",
+          help="rosbag v2.0 topic source (sensor_msgs Image / PointCloud2)")
+class RosbagSrc(DataStream):
+    """Pure-python rosbag reader (ref src/data-stream-rosbag.cc's source
+    role): emits one block per message on the selected topic — Image
+    messages as (y,x,chan) uint8 ndas, PointCloud2 as (pt,attr) float32
+    point blocks; other message types pass through as raw bytes. Multi-topic
+    primary sync = compose with ts-merge, like any other source pair."""
+    fn = Field("filename", req=True, help=".bag file")
+    topic = Field(str, default="", help="topic to read ('' = first seen)")
+
+    def start(self) -> None:
+        from .rosbag import read_bag
+        self._msgs = iter(read_bag(self.fn))
+        self._topic = self.topic
+
+    def read(self):
+        from ..utils.dims import NDA
+        from .rosbag import parse_image, parse_pointcloud2
+        for m in self._msgs:
+            if not self._topic:
+                self._topic = m.conn.topic
+            if m.conn.topic != self._topic:
+                continue
+            blk = DataBlock(ts=m.ts, tag=m.conn.topic)
+            if m.conn.dtype == "sensor_msgs/Image":
+                blk.nda = NDA.from_array(parse_image(m.raw), ("y", "x", "c"))
+            elif m.conn.dtype == "sensor_msgs/PointCloud2":
+                blk.nda = NDA.from_array(parse_pointcloud2(m.raw),
+                                         ("pt", "attr"))
+            else:
+                blk.data = m.raw
+            return blk
+        return None

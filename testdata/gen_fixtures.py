@@ -57,3 +57,24 @@ def gen_velo():
 if __name__ == "__main__":
     gen_rec()
     gen_velo()
+    gen_bag()
+
+
+def gen_bag():
+    """Minimal rosbag v2.0: 3 Image + 3 PointCloud2 messages, bz2 chunk."""
+    import numpy as np
+
+    from boda_tpu.stream.rosbag import (ser_image, ser_pointcloud2,
+                                        write_bag)
+    rng = np.random.RandomState(3)
+    msgs = []
+    for i in range(3):
+        img = rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+        msgs.append(("/cam/image", "sensor_msgs/Image", i * 10 ** 8,
+                     ser_image(img, "rgb8", ts=i * 10 ** 8)))
+        pts = rng.randn(16, 4).astype(np.float32)
+        msgs.append(("/velo/points", "sensor_msgs/PointCloud2",
+                     i * 10 ** 8 + 5, ser_pointcloud2(pts, ts=i * 10 ** 8 + 5)))
+    fn = os.path.join(TD, "streams", "mini.bag")
+    write_bag(fn, msgs, compression="bz2")
+    print(f"wrote {fn} ({len(msgs)} messages)")

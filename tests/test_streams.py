@@ -374,3 +374,55 @@ def test_render_pts_perspective_zbuffer():
     cy, cx = np.unravel_index(np.argmax(g * (g < 255)), g.shape)
     center = img[32, 32, 1]
     assert center == np.uint8(min(255.0, 64.0 + 40.0 * 0.75)), center
+
+
+# -- rosbag v2.0 (ref src/data-stream-rosbag.cc) -----------------------------
+
+def test_rosbag_roundtrip(tmp_path):
+    import numpy as np
+
+    from boda_tpu.stream.rosbag import (parse_image, parse_pointcloud2,
+                                        read_bag, ser_image,
+                                        ser_pointcloud2, write_bag)
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    pts = rng.randn(9, 4).astype(np.float32)
+    for comp in ("none", "bz2"):
+        fn = str(tmp_path / f"t_{comp}.bag")
+        write_bag(fn, [("/cam", "sensor_msgs/Image", 7, ser_image(img)),
+                       ("/pts", "sensor_msgs/PointCloud2", 8,
+                        ser_pointcloud2(pts))], compression=comp)
+        ms = list(read_bag(fn))
+        assert [m.conn.topic for m in ms] == ["/cam", "/pts"]
+        assert ms[0].ts == 7 and ms[1].ts == 8
+        assert (parse_image(ms[0].raw) == img).all()
+        assert np.allclose(parse_pointcloud2(ms[1].raw), pts)
+
+
+def test_rosbag_bgr_reorder(tmp_path):
+    import numpy as np
+
+    from boda_tpu.stream.rosbag import parse_image, ser_image
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[..., 0] = 10  # stored as bgr8: channel 0 is B
+    out = parse_image(ser_image(img, enc="bgr8"))
+    assert (out[..., 2] == 10).all() and (out[..., 0] == 0).all()
+
+
+def test_rosbag_src_stream_topics():
+    src = make("data_stream", "rosbag-src", fn="testdata/streams/mini.bag",
+               topic="/velo/points")
+    src.start()
+    blks = []
+    while True:
+        b = src.read()
+        if b is None:
+            break
+        blks.append(b)
+    assert len(blks) == 3
+    assert blks[0].nda.data.shape == (16, 4)
+    # default topic = first seen (/cam/image), images decoded
+    src2 = make("data_stream", "rosbag-src", fn="testdata/streams/mini.bag")
+    src2.start()
+    b = src2.read()
+    assert b.tag == "/cam/image" and b.nda.data.shape == (6, 8, 3)
