@@ -36,6 +36,11 @@ class NetTune(Mode):
     n_iters = Field(int, default="10", help="timing iterations per config")
     chain = Field(int, default="8", help="forwards chained per dispatch (see time_fwd)")
     wisdom_out_fn = Field(str, default="net-tuned.wis", help="output wisdom file")
+    # accept margin: a candidate must beat a FRESH same-batch re-measurement
+    # of the incumbent by this fraction. Run-to-run net timing over a remote
+    # dispatch path jitters by several %; comparing against a stale minimum
+    # (a lucky draw from an earlier group) locks in noise instead of signal.
+    margin = Field(float, default="0.02", help="required fractional win vs incumbent")
 
     def main(self) -> None:
         from ..ops.kernels.gen_data import gen_data_pattern
@@ -76,24 +81,37 @@ class NetTune(Mode):
         base = measure()
         print(f"net_tune {pipe.name}: baseline {self.img / base:.1f} img/s "
               f"over {len(order)} signature groups")
-        best_t = base
         cands = {k: str(v) for k, v in self.candidates.items()}
         for gi, k in enumerate(order):
-            results = {}
+            # fresh incumbent measurement in the same batch as the
+            # candidates: comparing vs a stale minimum locks in jitter
+            results = {"(incumbent)": measure()}
             for cname, tune_s in cands.items():
                 chosen[k] = tune_s
-                t = measure()
-                results[cname] = t
+                results[cname] = measure()
+            chosen.pop(k, None)
             winner = min(results, key=results.get)
-            if results[winner] < best_t:
+            inc_t = results["(incumbent)"]
+            if winner != "(incumbent)" and \
+                    results[winner] < inc_t * (1.0 - self.margin):
                 chosen[k] = cands[winner]
-                best_t = results[winner]
-            else:  # keep previous (default) tune for this group
-                chosen.pop(k, None)
-                winner = "(default)"
+            else:
+                winner = "(incumbent)"
             print(f"group {gi} ({flops[k] / 1e9:.2f}GF x{len(groups[k])} ops): "
                   f"{ {c: round(self.img / t, 1) for c, t in results.items()} } "
-                  f"-> {winner}, net {self.img / best_t:.1f} img/s")
+                  f"-> {winner}")
+        # final paired validation: median-of-3 tuned vs baseline
+        tuned_sel = dict(chosen)
+        chosen.clear()
+        base3 = sorted(measure() for _ in range(3))[1]
+        chosen.update(tuned_sel)
+        best_t = sorted(measure() for _ in range(3))[1]
+        if best_t >= base3 * (1.0 - self.margin):
+            print(f"net_tune: tuned config NOT reliably faster "
+                  f"({self.img / best_t:.1f} vs baseline {self.img / base3:.1f}"
+                  f" img/s, margin {self.margin:.0%}) — writing empty wisdom")
+            chosen.clear()
+            best_t = base3
         # write winners as wisdom (net-level objective runs)
         from ..ops.op_base import Op
         wis = []
