@@ -69,7 +69,11 @@ def main() -> int:
     # TPU tunnel (~26ms RTT) unchained per-dispatch timing measures dispatch
     # jitter, not device time (observed ±15% run variance; chained is stable)
     chain = int(os.environ.get("BENCH_CHAIN", "8"))
-    secs = eng.time_fwd({"data": x}, ["prob"], n_iters=24, chain=chain)
+    # best-of-3: run-to-run jitter over the remote dispatch path is several
+    # percent (occasionally 2x); the min approximates the noise-free time
+    # (compile is cached after the first call, so repeats are cheap)
+    secs = min(eng.time_fwd({"data": x}, ["prob"], n_iters=24, chain=chain)
+               for _ in range(3))
     img_s = img / secs
     fl = pipe.total_flops() / img
     print(json.dumps({

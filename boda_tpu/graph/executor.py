@@ -414,6 +414,21 @@ class PallasFwd(FwdEngine):
         plat = f"tpu:{getattr(self.device(), 'device_kind', '?')}".replace(" ", "_")
         return f"net:{plat}:{self.fusion_fingerprint()}", plat
 
+    def wisdom_sig(self, op_name: str):
+        """The signature THIS engine uses for wisdom lookup of op_name:
+        rtc sig with dims re-typed to the engine's compute dtype. Writers
+        (net_tune, ops_prof wisdom emit) must key records the same way or
+        lookups silently miss."""
+        from ..ops.sig_of import rtc_sig_of
+        sig = rtc_sig_of(self.pipe, self.pipe.ops[op_name]) \
+            if self.pipe is not None and op_name in self.pipe.ops else None
+        if sig is None:
+            return None
+        if self.compute_tn:  # wisdom keys carry the compute dtype
+            sig.dims_vals = {k: d.with_tn(self.compute_tn)
+                             for k, d in sig.dims_vals.items()}
+        return sig
+
     def _wisdom_tune(self, op_name: str):
         """Best recorded tune for this op's signature on this platform.
         Preference order: net-level runs with OUR fusion fingerprint, then
@@ -424,14 +439,9 @@ class PallasFwd(FwdEngine):
         if not hasattr(self, "_wisdom"):
             from ..prof.wisdom import read_wisdom
             self._wisdom = {w.op.key(): w for w in read_wisdom(self.wisdom_fn)}
-        from ..ops.sig_of import rtc_sig_of
-        sig = rtc_sig_of(self.pipe, self.pipe.ops[op_name]) \
-            if op_name in self.pipe.ops else None
+        sig = self.wisdom_sig(op_name)
         if sig is None:
             return None
-        if self.compute_tn:  # wisdom keys carry the compute dtype
-            sig.dims_vals = {k: d.with_tn(self.compute_tn)
-                             for k, d in sig.dims_vals.items()}
         w = self._wisdom.get(sig.key())
         if w is None:
             return None

@@ -373,6 +373,76 @@ def _lower_data(pipe, op, ctx):
 
 
 # -- backward ops (graph autodiff; see graph/autodiff.py) ---------------------------
+#
+# The reference also exposes EXPLICIT backward op types usable directly in
+# hand-built graphs (ref conv_util.cc:40-64: Spreading {out, out_grad_loss,
+# in} -> in_grad_loss with pooling params; ZeroIfNonPos {in, cond} -> out;
+# BckDropout; BckLRN {in, out, out_grad_loss} -> in_grad_loss). These lower
+# here with vjp-exact numerics; graph/autodiff.py's Bck op remains the
+# mechanism add_bck_ops uses.
+
+
+@lower_rule("Spreading")
+def _lower_spreading(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    """Pooling backward: spread out_grad to the input positions that
+    produced each pooled value (max: argmax positions; ave: uniform over
+    the window) — vjp of the Pooling forward at `in`."""
+    from .pipe import ConvOp as _Op
+    pool_op = _Op(name=op.name + "__fwd", type="Pooling",
+                  bots=[op.bots[2]], tops=[op.bots[0]], params=dict(op.params))
+    fwd = lower_op(pipe, pool_op, ctx)
+
+    def fn(out, og, x):
+        import jax
+        _, vjp = jax.vjp(lambda xi: fwd(xi)[0], x)
+        return (vjp(og)[0].astype(x.dtype),)
+    return fn
+
+
+@lower_rule("ZeroIfNonPos")
+def _lower_zinp(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    """ReLU backward: out = (cond > 0) ? in : 0 (ref ZeroIfNonPos_coi)."""
+    def fn(x, cond):
+        return (jnp.where(cond > 0, x, jnp.zeros((), x.dtype)),)
+    return fn
+
+
+@lower_rule("BckDropout")
+def _lower_bck_dropout(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    """Dropout backward: grad through the same deterministic mask the
+    forward drew (ctx.det_drop_seed + op-name hash keeps them aligned when
+    the BckDropout op is named '<fwd_name>__bck')."""
+    ratio = float(op.p("dropout_ratio", 0.5))
+    if not ctx.train:
+        def fn(g, _act):
+            return (g,)
+        return fn
+    base = op.name[:-5] if op.name.endswith("__bck") else op.name
+    seed = ctx.det_drop_seed + (stable_hash(base) & 0xFFFF)
+
+    def fn(g, _act):
+        import jax
+        key = jax.random.PRNGKey(seed)
+        mask = jax.random.bernoulli(key, 1.0 - ratio, g.shape)
+        return ((g * mask / (1.0 - ratio)).astype(g.dtype),)
+    return fn
+
+
+@lower_rule("BckLRN")
+def _lower_bck_lrn(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    """LRN backward: vjp of the LRN forward at `in` (ref BckLRN_coi
+    {in, out, out_grad_loss} -> in_grad_loss)."""
+    from .pipe import ConvOp as _Op
+    lrn_op = _Op(name=op.name + "__fwd", type="LRN",
+                 bots=[op.bots[0]], tops=[op.bots[1]], params=dict(op.params))
+    fwd = lower_op(pipe, lrn_op, ctx)
+
+    def fn(x, out, og):
+        import jax
+        _, vjp = jax.vjp(lambda xi: fwd(xi)[0], x)
+        return (vjp(og)[0].astype(x.dtype),)
+    return fn
+
 
 @lower_rule("Bck")
 def _lower_bck(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:

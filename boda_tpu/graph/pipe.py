@@ -384,9 +384,10 @@ def _calc_acc(pipe: ConvPipe, op: ConvOp) -> list[Dims]:
     return [Dims.of(img=ind["img"], tn=ind.tn)]
 
 
-@_op_info("Spreading", min_bots=4, max_bots=4)
+@_op_info("Spreading", min_bots=3, max_bots=3)
 def _calc_spreading(pipe: ConvPipe, op: ConvOp) -> list[Dims]:
-    # spreads top-gradient values back to bottom positions (pooling backward)
+    # (out, out_grad_loss, in) -> in_grad_loss (pooling backward; ref
+    # conv_util.cc:63 Spreading_coi)
     return [pipe.must_dims(op.bots[2])]
 
 

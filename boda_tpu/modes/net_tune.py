@@ -44,16 +44,18 @@ class NetTune(Mode):
 
     def main(self) -> None:
         from ..ops.kernels.gen_data import gen_data_pattern
-        from ..ops.sig_of import rtc_sig_of
         from ..prof.wisdom import OpRun, OpWisdom, write_wisdom
         from ..utils.lexp import Lexp
         pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img, 0)
         eng = self.conv_fwd
-        # group ops by rtc signature; order groups by FLOPs (hottest first)
+        eng.init(pipe)
+        # group ops by the ENGINE's wisdom signature (compute-dtype-typed
+        # keys — writing raw-pipe keys makes engine lookups silently miss);
+        # order groups by FLOPs (hottest first)
         groups: dict[str, list[str]] = {}
         flops: dict[str, float] = {}
         for op_name in pipe.topo_op_order():
-            sig = rtc_sig_of(pipe, pipe.ops[op_name])
+            sig = eng.wisdom_sig(op_name)
             if sig is None:
                 continue
             k = sig.key()
