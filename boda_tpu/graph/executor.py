@@ -494,11 +494,18 @@ class PallasFwd(FwdEngine):
     def _build_sharded_fn(self, raw, in_names, out_names) -> Callable:
         """Pallas kernels are opaque to GSPMD; shard the batch (dp) via
         shard_map — each device runs the full Pallas net on its img slice.
-        tp>1 requires the GSPMD (xla) engine."""
+        tp>1: under the library kernel policy the program contains no
+        Pallas calls, so the plain GSPMD path (explicit weight/input
+        shardings, XLA-inserted collectives) applies; with generated
+        kernels forced, tp still requires the xla engine."""
         import jax
         from jax.sharding import PartitionSpec as P
         if "tp" in self._mesh.axis_names and self._mesh.shape["tp"] > 1:
-            raise PipeError("pallas engine shards dp only; use mode=xla for tp")
+            if self.kernel_policy == "lib":
+                return FwdEngine._build_sharded_fn(self, raw, in_names,
+                                                   out_names)
+            raise PipeError("pallas engine shards dp only with generated "
+                            "kernels; use kernel_policy=lib or mode=xla for tp")
         from jax.experimental.shard_map import shard_map
         w_specs = {k: P() for k in self.pipe.weights}
         in_specs = {n: P("dp") for n in in_names}
@@ -511,6 +518,36 @@ class PallasFwd(FwdEngine):
             with self._mesh:
                 return jitted(weights, inputs)
         return fn
+
+    def _weight_sharding(self, name: str):
+        """tp weight sharding in the engine's PHYSICAL layout: the NHWC
+        engine pre-transposes weights at upload (e.g. conv OIHW -> HWIO,
+        out_chan moves axis 0 -> 3), so the logical-dims spec of the base
+        engine would shard the wrong axis. The prep's axis mapping is
+        recovered by tracing an out_chan-indexed marker array through it."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        base = super()._weight_sharding(name)
+        prep = getattr(self, "_weight_preps", {}).get(name)
+        if prep is None or all(s is None for s in base.spec):
+            return base
+        import numpy as np
+        w = self.pipe.weights[name]
+        oc_ix = w.dims.index("out_chan")
+        oc = w.dims.shape[oc_ix]
+        shape = [1] * len(w.dims)
+        shape[oc_ix] = oc
+        marker = np.broadcast_to(
+            np.arange(oc, dtype=np.int32).reshape(shape), w.dims.shape)
+        p = np.asarray(prep[0](marker) if isinstance(prep, tuple) else
+                       prep(marker))
+        spec = [None] * p.ndim
+        for a in range(p.ndim):
+            if p.shape[a] == oc and \
+                    all(bool(np.all(np.take(p, i, axis=a) == i))
+                        for i in (0, p.shape[a] - 1)):
+                spec[a] = "tp"
+                break
+        return NamedSharding(self._mesh, PartitionSpec(*spec))
 
     def init(self, pipe: ConvPipe) -> None:
         self.pipe = pipe
@@ -791,15 +828,13 @@ class PallasFwd(FwdEngine):
         import jax
         dev = self.device()
         self._weights_dev = {}
-        if self._mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            dev = NamedSharding(self._mesh, PartitionSpec())  # replicated
         for k, w in self.pipe.weights.items():
             data = self._cast_w(w.data)
             prep = self._weight_preps.get(k)
             if prep is not None:
                 data = prep[0](data)
-            self._weights_dev[k] = jax.device_put(data, dev)
+            tgt = self._weight_sharding(k) if self._mesh is not None else dev
+            self._weights_dev[k] = jax.device_put(data, tgt)
 
     def _to_internal(self, node: str, arr):
         if self.layout == "nhwc" and self._is_4d(node) and arr.ndim == 4:

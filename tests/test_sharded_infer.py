@@ -20,6 +20,7 @@ def _setup(img=8):
 
 @pytest.mark.parametrize("engine,mesh", [
     ("xla", "(dp=8)"), ("xla", "(dp=2,tp=4)"), ("pallas", "(dp=8)"),
+    ("pallas", "(dp=2,tp=4)"),  # lib kernel policy -> GSPMD path
 ])
 def test_sharded_matches_local(engine, mesh):
     pipe, x = _setup()
@@ -35,10 +36,11 @@ def test_sharded_matches_local(engine, mesh):
     assert r.ok(), f"{engine} {mesh}: {r}"
 
 
-def test_pallas_tp_rejected():
+def test_pallas_tp_rejected_with_gen_kernels():
     from boda_tpu.graph.pipe import PipeError
     pipe, x = _setup()
-    eng = make("conv_fwd", "pallas", mesh=parse_lexp("(dp=2,tp=4)"))
+    eng = make("conv_fwd", "pallas", kernel_policy="gen",
+               mesh=parse_lexp("(dp=2,tp=4)"))
     eng.init(pipe)
     with pytest.raises(PipeError, match="dp only"):
         eng.run_fwd({"data": x}, ["prob"])
