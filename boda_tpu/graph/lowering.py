@@ -65,21 +65,51 @@ def lower_op(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
 
 # -- conv / ip ------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def conv_f32acc(dn, s, p, groups, dil, prec):
+    """conv with f32 MXU accumulation that stays differentiable on low-
+    precision inputs: the transpose rule of a preferred_element_type=f32
+    conv receives an f32 cotangent against bf16 operands, which the strict
+    conv dtype rule rejects. custom_vjp keeps the f32-accumulating forward
+    and computes input/filter grads via the same conv in operand dtype
+    (cotangent cast down first — standard bf16 training numerics)."""
+    import jax
+
+    def raw(x, w, pref):
+        return lax.conv_general_dilated(
+            x, w, window_strides=s, padding=list(p),
+            dimension_numbers=dn, feature_group_count=groups,
+            rhs_dilation=dil, precision=prec,
+            preferred_element_type=pref)
+
+    @jax.custom_vjp
+    def f(x, w):
+        return raw(x, w, jnp.float32)
+
+    def fwd(x, w):
+        return raw(x, w, jnp.float32), (x, w)
+
+    def bwd(res, ct):
+        import jax as _jax
+        x, w = res
+        _, vjp = _jax.vjp(lambda xi, wi: raw(xi, wi, None), x, w)
+        return vjp(ct.astype(x.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 @lower_rule("Convolution")
 def _lower_conv(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
     s, p = op.stride(), op.pad()
     dil = op.dilation()
     groups = int(op.p("groups", 1))
     relu = bool(op.p("fused_relu", False))
+    conv = conv_f32acc(("NCHW", "OIHW", "NCHW"), s,
+                       ((p[0], p[0]), (p[1], p[1])), groups, dil, ctx.prec)
 
     def fn(x, w, b):
-        out = lax.conv_general_dilated(
-            x, w, window_strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=groups, rhs_dilation=dil,
-            precision=ctx.prec,
-            preferred_element_type=jnp.float32,
-        )
+        out = conv(x, w)
         out = out + b.reshape(1, -1, 1, 1)
         if relu:
             out = jnp.maximum(out, 0.0)

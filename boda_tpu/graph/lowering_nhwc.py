@@ -93,11 +93,21 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
             xf = x.astype(jnp.float32)
             xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
             xq = jnp.round(xf / xs).astype(jnp.int8)
-            acc = lax.conv_general_dilated(
-                xq, wq, window_strides=s,
-                padding=[(p[0], p[0]), (p[1], p[1])],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
+            if k == (1, 1) and p == (0, 0):
+                # 1x1: int8 matmul (the MXU's native int8 path; the int8
+                # conv emitter is measurably slower than the dot emitter)
+                if s != (1, 1):
+                    xq = xq[:, ::s[0], ::s[1], :]
+                n_, y_, x_, c_ = xq.shape
+                acc = jnp.dot(xq.reshape(-1, c_), wq.reshape(c_, -1),
+                              preferred_element_type=jnp.int32)
+                acc = acc.reshape(n_, y_, x_, -1)
+            else:
+                acc = lax.conv_general_dilated(
+                    xq, wq, window_strides=s,
+                    padding=[(p[0], p[0]), (p[1], p[1])],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
             out = acc.astype(jnp.float32) * (ws * xs).reshape(1, 1, 1, -1) \
                 + b.astype(jnp.float32).reshape(1, 1, 1, -1)
             if residual is not None:
@@ -178,17 +188,19 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
 
     info_log.append(f"{op.name}: nhwc-xla_conv")
     prec = PRECISIONS[tune.precision]
+    from .lowering import conv_f32acc
+    conv = conv_f32acc(("NHWC", "HWIO", "NHWC"), s,
+                       ((p[0], p[0]), (p[1], p[1])), groups, dil, prec)
 
-    def fn(x, w, b):
-        out = lax.conv_general_dilated(
-            x, w, window_strides=s, padding=[(p[0], p[0]), (p[1], p[1])],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=groups, rhs_dilation=dil, precision=prec,
-            preferred_element_type=jnp.float32)
+    def fn(x, w, b, residual=None):
+        out = conv(x, w)
         out = out + b.reshape(1, 1, 1, -1)
+        if residual is not None:
+            out = out + residual.astype(out.dtype)
         if relu:
             out = jnp.maximum(out, 0.0)
         return (out.astype(x.dtype),)
+    fn.supports_residual = True
     return fn, preps
 
 

@@ -26,6 +26,7 @@ class TrainBench(Mode):
     ptt_fn = Field("filename", default="", help="caffe prototxt")
     img = Field(int, default="32", help="batch size")
     lr = Field(float, default="0.01", help="SGD learning rate")
+    clip_norm = Field(float, default="1.0", help="global-norm grad clip (0=off)")
     compute_tn = Field(str, default="bfloat16", help="weight/activation dtype ('' = f32)")
     chain = Field(int, default="4", help="steps chained per dispatch")
     n_iters = Field(int, default="12", help="timed dispatches")
@@ -41,15 +42,16 @@ class TrainBench(Mode):
         from ..rtc.backends import time_diff_method
         pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img, 0)
         logits = find_logits_node(pipe)
-        step = make_train_step(pipe, logits, lr=self.lr)
+        step = make_train_step(pipe, logits, lr=self.lr,
+                               clip_norm=self.clip_norm)
         d = in_dims["data"]
         cdt = jnp.dtype(self.compute_tn) if self.compute_tn else jnp.float32
         dev = jax.devices()[0]
-        weights = {k: jax.device_put(
-            np.asarray(w.data, np.float32).astype(
-                cdt if not k.endswith(("__means", "__vars", "__sf"))
-                else np.float32), dev)
-            for k, w in pipe.weights.items()}
+        # all weights in the compute dtype (matching the engines' _cast_w;
+        # mixed dtypes would break conv dtype agreement mid-net)
+        weights = {k: jax.device_put(np.asarray(w.data, np.float32)
+                                     .astype(cdt), dev)
+                   for k, w in pipe.weights.items()}
         x = jax.device_put(np.asarray(
             gen_data_pattern(d.shape, d.tn)).astype(cdt), dev)
         n_cls = int(np.prod(pipe.nodes[logits].dims.shape)) // self.img

@@ -54,10 +54,15 @@ def is_trainable(name: str) -> bool:
 
 
 def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
-                    precision: str = "default") -> Callable:
+                    precision: str = "default",
+                    clip_norm: float = 0.0) -> Callable:
     """SGD step: fn(weights, x_dict, labels) -> (loss, new_weights).
     BatchNorm statistics blobs (means/vars/scale-factor) are frozen —
-    gradients flow through them but SGD does not update them."""
+    gradients flow through them but SGD does not update them. clip_norm>0
+    applies global-norm gradient clipping (in f32) before the update —
+    necessary for low-precision weights on nets whose fabricated BN stats
+    don't actually normalize (residual variance growth makes raw grads
+    overflow bf16)."""
     import jax
     import jax.numpy as jnp
     net_fn = build_net_fn(pipe, [logits_node],
@@ -76,6 +81,13 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
         frozen_w = {k: v for k, v in weights.items() if not is_trainable(k)}
         loss, grads = jax.value_and_grad(loss_fn)(train_w, frozen_w, inputs,
                                                   labels)
+        if clip_norm > 0:
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)))
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree_util.tree_map(
+                lambda g: (g.astype(jnp.float32) * scale), grads)
         new_w = jax.tree_util.tree_map(lambda w, g: w - lr * g.astype(w.dtype),
                                        train_w, grads)
         new_w.update(frozen_w)
