@@ -59,6 +59,9 @@ class FwdEngine:
     # tp shards conv/fc weights over out_chan (XLA engine: GSPMD inserts the
     # collectives; Pallas engine: dp only, via shard_map around the net fn)
     mesh = Field("lexp", default="()", help="device mesh axes, e.g. (dp=2,tp=4)")
+    # gen_src analog (ref rtc_compute.H:39-40): dump each compiled program's
+    # lowered StableHLO + backend-optimized HLO text
+    gen_src_dir = Field(str, default="", help="dump compiled program sources here")
 
     def base_setup(self) -> None:
         self.pipe: Optional[ConvPipe] = None
@@ -231,6 +234,35 @@ class FwdEngine:
                 self._fn = self._build_fn(in_names, out_names)
                 self._fn_key = key
 
+    def _dump_src(self, dev_ins) -> None:
+        """gen_src analog (ref rtc_compute.H:39-40, nvrtc_util.cc:223-230:
+        gen_src=1 dumps each generated .cu/.cl + PTX): write the lowered
+        StableHLO and the backend-optimized HLO of the compiled whole-net
+        program to gen_src_dir."""
+        import os
+
+        import jax
+
+        from ..utils.dims import stable_hash
+        os.makedirs(self.gen_src_dir, exist_ok=True)
+        raw = self.build_raw_fn(list(self._fn_key[1]))
+        lowered = jax.jit(raw).lower(self._weights_dev, dev_ins)
+        tag = f"{self.pipe.name}_{stable_hash(repr(self._fn_key)) & 0xFFFF:04x}"
+        with open(os.path.join(self.gen_src_dir, f"{tag}.stablehlo.txt"),
+                  "w") as f:
+            f.write(lowered.as_text())
+        wrote = [f"{tag}.stablehlo.txt"]
+        try:
+            comp = lowered.compile()
+            with open(os.path.join(self.gen_src_dir, f"{tag}.opt_hlo.txt"),
+                      "w") as f:
+                f.write(comp.as_text())
+            wrote.append(f"{tag}.opt_hlo.txt")
+        except Exception as e:  # optimized-HLO text is backend-best-effort
+            self._info_log.append(f"gen_src: opt-HLO unavailable ({e})")
+        self._dumped_key = self._fn_key
+        self._info_log.append(f"gen_src: wrote {', '.join(wrote)}")
+
     def run_fwd(self, ins: dict[str, NDA], out_names: list[str]) -> dict[str, NDA]:
         import jax
         dev = self.device()
@@ -242,6 +274,8 @@ class FwdEngine:
                            for k, v in ins.items()}
             else:
                 dev_ins = {k: jax.device_put(v.data, dev) for k, v in ins.items()}
+        if self.gen_src_dir and getattr(self, "_dumped_key", None) != self._fn_key:
+            self._dump_src(dev_ins)
         with timer("fwd_run"):
             outs = self._fn(self._weights_dev, dev_ins)
             jax.tree_util.tree_map(

@@ -49,3 +49,23 @@ def test_var_stats_and_quantize():
     # and it changes downstream results vs unquantized
     base = eng.run_fwd({"data": x}, ["conv1"])["conv1"].data
     assert not np.array_equal(base, out_q)
+
+
+def test_gen_src_dump(tmp_path):
+    """gen_src analog (ref rtc_compute.H:39-40): compiled program sources."""
+    import os
+
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.kernels.gen_data import gen_data_pattern
+    pipe, in_dims = build_model("mini_resnet", img=1)
+    eng = make("conv_fwd", "pallas", gen_src_dir=str(tmp_path / "src"))
+    eng.init(pipe)
+    d = in_dims["data"]
+    x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
+    eng.run_fwd({"data": x}, ["prob"])
+    files = os.listdir(tmp_path / "src")
+    assert any(f.endswith(".stablehlo.txt") for f in files), files
+    txt = open(tmp_path / "src" / [f for f in files
+                                   if f.endswith(".stablehlo.txt")][0]).read()
+    assert "stablehlo" in txt and "func.func" in txt
+    assert "gen_src: wrote" in eng.get_info_log()
