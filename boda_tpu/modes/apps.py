@@ -149,7 +149,9 @@ class ConvPyra(Mode):
                 p, csi.support_stride, csi.eff_tot_pad)
             sub = feat.data[p.plane, :, fy0:fy1, fx0:fx1]
             print(f"scale {i} ({p.sz[0]}x{p.sz[1]}): feat[{p.plane}, :, "
-                  f"{fy0}:{fy1}, {fx0}:{fx1}] mean={float(sub.mean()):.5f}")
+                  # 3 sig figs: platform-stable across CPU/TPU reduction
+                  # orders (goldens compare exact text)
+                  f"{fy0}:{fy1}, {fx0}:{fx1}] mean={float(sub.mean()):.3g}")
 
 
 @register("mode", "test_dense", help="dense-vs-cropped-window feature equivalence")
