@@ -27,6 +27,8 @@ class TrainBench(Mode):
     img = Field(int, default="32", help="batch size")
     lr = Field(float, default="0.01", help="SGD learning rate")
     clip_norm = Field(float, default="1.0", help="global-norm grad clip (0=off)")
+    momentum = Field(float, default="0.0", help="SGD momentum (0=plain SGD)")
+    weight_decay = Field(float, default="0.0", help="decoupled weight decay")
     compute_tn = Field(str, default="bfloat16", help="weight/activation dtype ('' = f32)")
     chain = Field(int, default="4", help="steps chained per dispatch")
     n_iters = Field(int, default="12", help="timed dispatches")
@@ -43,7 +45,9 @@ class TrainBench(Mode):
         pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img, 0)
         logits = find_logits_node(pipe)
         step = make_train_step(pipe, logits, lr=self.lr,
-                               clip_norm=self.clip_norm)
+                               clip_norm=self.clip_norm,
+                               momentum=self.momentum,
+                               weight_decay=self.weight_decay)
         d = in_dims["data"]
         cdt = jnp.dtype(self.compute_tn) if self.compute_tn else jnp.float32
         dev = jax.devices()[0]
@@ -58,11 +62,22 @@ class TrainBench(Mode):
         labels = jax.device_put(
             (np.arange(self.img) % n_cls).astype(np.int32), dev)
 
+        use_mom = self.momentum > 0
+        if use_mom:
+            mom0 = {k: jnp.zeros(v.shape, jnp.float32)
+                    for k, v in weights.items()
+                    if not k.endswith(("__means", "__vars", "__sf"))}
+
         def chained(w):
             def body(carry, _):
+                if use_mom:
+                    cw, cm = carry
+                    loss, nw, nm = step(cw, {"data": x}, labels, cm)
+                    return (nw, nm), loss
                 loss, nw = step(carry, {"data": x}, labels)
                 return nw, loss
-            nw, losses = lax.scan(body, w, None, length=self.chain)
+            carry0 = (w, mom0) if use_mom else w
+            nw, losses = lax.scan(body, carry0, None, length=self.chain)
             return losses, nw
 
         cfn = jax.jit(chained)

@@ -54,15 +54,19 @@ def is_trainable(name: str) -> bool:
 
 
 def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
-                    precision: str = "default",
-                    clip_norm: float = 0.0) -> Callable:
-    """SGD step: fn(weights, x_dict, labels) -> (loss, new_weights).
-    BatchNorm statistics blobs (means/vars/scale-factor) are frozen —
-    gradients flow through them but SGD does not update them. clip_norm>0
-    applies global-norm gradient clipping (in f32) before the update —
-    necessary for low-precision weights on nets whose fabricated BN stats
-    don't actually normalize (residual variance growth makes raw grads
-    overflow bf16)."""
+                    precision: str = "default", clip_norm: float = 0.0,
+                    momentum: float = 0.0,
+                    weight_decay: float = 0.0) -> Callable:
+    """SGD(+momentum, +decoupled weight decay) step:
+    fn(weights, x_dict, labels[, mom_state]) -> (loss, new_weights)
+    — or (loss, new_weights, new_mom_state) when momentum > 0 (pass the
+    previous mom_state or None to start from zeros; f32 regardless of the
+    weight dtype). BatchNorm statistics blobs (means/vars/scale-factor) are
+    frozen — gradients flow through them but SGD does not update them.
+    clip_norm>0 applies global-norm gradient clipping (in f32) before the
+    update — necessary for low-precision weights on nets whose fabricated
+    BN stats don't actually normalize (residual variance growth makes raw
+    grads overflow bf16)."""
     import jax
     import jax.numpy as jnp
     net_fn = build_net_fn(pipe, [logits_node],
@@ -76,21 +80,35 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
         nll = -jnp.take_along_axis(logp, labels.reshape(-1, 1), axis=1)
         return jnp.mean(nll)
 
-    def train_step(weights, inputs, labels):
+    def train_step(weights, inputs, labels, mom_state=None):
         train_w = {k: v for k, v in weights.items() if is_trainable(k)}
         frozen_w = {k: v for k, v in weights.items() if not is_trainable(k)}
         loss, grads = jax.value_and_grad(loss_fn)(train_w, frozen_w, inputs,
                                                   labels)
+        grads = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32), grads)
         if clip_norm > 0:
             gnorm = jnp.sqrt(sum(
-                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                jnp.sum(jnp.square(g))
                 for g in jax.tree_util.tree_leaves(grads)))
             scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
-            grads = jax.tree_util.tree_map(
-                lambda g: (g.astype(jnp.float32) * scale), grads)
-        new_w = jax.tree_util.tree_map(lambda w, g: w - lr * g.astype(w.dtype),
-                                       train_w, grads)
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        if momentum > 0:
+            if mom_state is None:
+                mom_state = jax.tree_util.tree_map(
+                    lambda g: jnp.zeros_like(g), grads)
+            mom_state = jax.tree_util.tree_map(
+                lambda m, g: momentum * m + g, mom_state, grads)
+            grads = mom_state
+        def upd(w, g):
+            step = lr * g
+            if weight_decay > 0:  # decoupled (AdamW-style) decay
+                step = step + lr * weight_decay * w.astype(jnp.float32)
+            return (w.astype(jnp.float32) - step).astype(w.dtype)
+        new_w = jax.tree_util.tree_map(upd, train_w, grads)
         new_w.update(frozen_w)
+        if momentum > 0:
+            return loss, new_w, mom_state
         return loss, new_w
 
     return train_step

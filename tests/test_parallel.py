@@ -83,3 +83,37 @@ def test_net_fn_train_vs_infer_dropout():
     o1 = fn(weights, {"data": x})["prob"]
     o2 = fn(weights, {"data": x})["prob"]
     assert np.array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_train_step_momentum_and_decay():
+    """momentum: second step with the accumulated velocity moves farther
+    than plain SGD; weight_decay shrinks weights with zero grads."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boda_tpu.models.zoo import build_mini_resnet
+    from boda_tpu.parallel.train import find_logits_node, make_train_step
+    pipe, in_dims = build_mini_resnet(img=2, num_cls=8, in_sz=8)
+    logits = find_logits_node(pipe)
+    rng = np.random.RandomState(0)
+    x = {"data": rng.randn(*in_dims["data"].shape).astype(np.float32)}
+    labels = np.array([1, 3], dtype=np.int32)
+    w0 = {k: jnp.asarray(w.data) for k, w in pipe.weights.items()}
+
+    plain = make_train_step(pipe, logits, lr=0.1, clip_norm=1.0)
+    mom = make_train_step(pipe, logits, lr=0.1, clip_norm=1.0, momentum=0.9)
+    _, w_p = plain(w0, x, labels)
+    _, w_p2 = plain(w_p, x, labels)
+    _, w_m, ms = mom(w0, x, labels, None)
+    _, w_m2, _ = mom(w_m, x, labels, ms)
+    # first steps identical (zero velocity); second differs (velocity != 0)
+    k = "fc__filts"
+    assert np.allclose(np.asarray(w_p[k]), np.asarray(w_m[k]), atol=1e-6)
+    assert not np.allclose(np.asarray(w_p2[k]), np.asarray(w_m2[k]),
+                           atol=1e-6)
+    # decay-only probe: with lr>0, wd>0 and a loss-irrelevant weight
+    # (conv1 bias grad is nonzero, so just check norm shrinks vs plain)
+    wd = make_train_step(pipe, logits, lr=0.1, clip_norm=1.0,
+                         weight_decay=0.5)
+    _, w_d = wd(w0, x, labels)
+    assert float(jnp.linalg.norm(w_d[k])) < float(jnp.linalg.norm(w_p[k]))
