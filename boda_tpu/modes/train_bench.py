@@ -29,6 +29,7 @@ class TrainBench(Mode):
     clip_norm = Field(float, default="1.0", help="global-norm grad clip (0=off)")
     momentum = Field(float, default="0.0", help="SGD momentum (0=plain SGD)")
     weight_decay = Field(float, default="0.0", help="decoupled weight decay")
+    bn_momentum = Field(float, default="0.0", help="train-mode BN EMA rate (0=inference-stats BN)")
     compute_tn = Field(str, default="bfloat16", help="weight/activation dtype ('' = f32)")
     chain = Field(int, default="4", help="steps chained per dispatch")
     n_iters = Field(int, default="12", help="timed dispatches")
@@ -47,7 +48,8 @@ class TrainBench(Mode):
         step = make_train_step(pipe, logits, lr=self.lr,
                                clip_norm=self.clip_norm,
                                momentum=self.momentum,
-                               weight_decay=self.weight_decay)
+                               weight_decay=self.weight_decay,
+                               bn_momentum=self.bn_momentum)
         d = in_dims["data"]
         cdt = jnp.dtype(self.compute_tn) if self.compute_tn else jnp.float32
         dev = jax.devices()[0]

@@ -27,20 +27,62 @@ def find_logits_node(pipe: ConvPipe, prob_node: str = "prob") -> str:
 
 
 def build_net_fn(pipe: ConvPipe, out_names: list[str],
-                 ctx: Optional[LowerCtx] = None) -> Callable:
-    """Pure fn(weights_dict, inputs_dict) -> {name: array} over stock-XLA ops."""
+                 ctx: Optional[LowerCtx] = None,
+                 bn_momentum: float = 0.0) -> Callable:
+    """Pure fn(weights_dict, inputs_dict) -> {name: array} over stock-XLA ops.
+
+    bn_momentum > 0 switches BatchNorm ops to TRAINING semantics: normalize
+    with the current batch's statistics and return EMA-updated running
+    stats under the extra output key "__bn_stats__" (new = (1-m)*old +
+    m*batch). The reference has no training loop at all (SURVEY §2), so
+    inference-stats BN is its only semantic; this is the standard
+    train-mode extension users of a training step expect."""
+    import jax.numpy as jnp
     ctx = ctx or LowerCtx(train=True)
     topo = pipe.topo_op_order()
     lowered = {name: lower_op(pipe, pipe.ops[name], ctx) for name in topo}
 
+    def _bn_train(op, vals, new_stats):
+        x = vals[op.bots[0]]
+        eps = float(op.p("eps", 1e-5))
+        xf = x.astype(jnp.float32)
+        m_b = xf.mean(axis=(0, 2, 3))
+        v_b = xf.var(axis=(0, 2, 3))
+        out = ((xf - m_b.reshape(1, -1, 1, 1))
+               * jax.lax.rsqrt(v_b.reshape(1, -1, 1, 1) + eps))
+        # running stats are stored caffe-style (sums + scale factor sf);
+        # emit the UNSCALED running values with sf pinned to 1
+        mean_w, var_w = op.bots[1], op.bots[2]
+        sf = vals[op.bots[3]][0].astype(jnp.float32) \
+            if len(op.bots) > 3 else jnp.float32(1.0)
+        inv_sf = jnp.where(sf != 0, 1.0 / sf, 1.0)
+        old_m = vals[mean_w].astype(jnp.float32) * inv_sf
+        old_v = vals[var_w].astype(jnp.float32) * inv_sf
+        new_stats[mean_w] = ((1 - bn_momentum) * old_m
+                             + bn_momentum * m_b).astype(vals[mean_w].dtype)
+        new_stats[var_w] = ((1 - bn_momentum) * old_v
+                            + bn_momentum * v_b).astype(vals[var_w].dtype)
+        if len(op.bots) > 3:
+            new_stats[op.bots[3]] = jnp.ones_like(vals[op.bots[3]])
+        return (out.astype(x.dtype),)
+
+    import jax
+
     def net_fn(weights, inputs):
         vals = dict(inputs)
         vals.update(weights)
+        new_stats = {}
         for op_name in topo:
             op = pipe.ops[op_name]
-            outs = lowered[op_name](*[vals[b] for b in op.bots])
+            if bn_momentum > 0 and op.type == "BatchNorm":
+                outs = _bn_train(op, vals, new_stats)
+            else:
+                outs = lowered[op_name](*[vals[b] for b in op.bots])
             vals.update(zip(op.tops, outs))
-        return {n: vals[n] for n in out_names}
+        res = {n: vals[n] for n in out_names}
+        if bn_momentum > 0:
+            res["__bn_stats__"] = new_stats
+        return res
 
     return net_fn
 
@@ -55,8 +97,8 @@ def is_trainable(name: str) -> bool:
 
 def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
                     precision: str = "default", clip_norm: float = 0.0,
-                    momentum: float = 0.0,
-                    weight_decay: float = 0.0) -> Callable:
+                    momentum: float = 0.0, weight_decay: float = 0.0,
+                    bn_momentum: float = 0.0) -> Callable:
     """SGD(+momentum, +decoupled weight decay) step:
     fn(weights, x_dict, labels[, mom_state]) -> (loss, new_weights)
     — or (loss, new_weights, new_mom_state) when momentum > 0 (pass the
@@ -71,20 +113,22 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
     import jax.numpy as jnp
     net_fn = build_net_fn(pipe, [logits_node],
                           LowerCtx(precision=precision, train=True,
-                                   det_drop_seed=42))
+                                   det_drop_seed=42),
+                          bn_momentum=bn_momentum)
 
     def loss_fn(train_w, frozen_w, inputs, labels):
-        logits = net_fn({**train_w, **frozen_w}, inputs)[logits_node]
+        res = net_fn({**train_w, **frozen_w}, inputs)
+        logits = res[logits_node]
         logits = logits.reshape(logits.shape[0], -1).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, labels.reshape(-1, 1), axis=1)
-        return jnp.mean(nll)
+        return jnp.mean(nll), res.get("__bn_stats__", {})
 
     def train_step(weights, inputs, labels, mom_state=None):
         train_w = {k: v for k, v in weights.items() if is_trainable(k)}
         frozen_w = {k: v for k, v in weights.items() if not is_trainable(k)}
-        loss, grads = jax.value_and_grad(loss_fn)(train_w, frozen_w, inputs,
-                                                  labels)
+        (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            train_w, frozen_w, inputs, labels)
         grads = jax.tree_util.tree_map(
             lambda g: g.astype(jnp.float32), grads)
         if clip_norm > 0:
@@ -107,6 +151,7 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
             return (w.astype(jnp.float32) - step).astype(w.dtype)
         new_w = jax.tree_util.tree_map(upd, train_w, grads)
         new_w.update(frozen_w)
+        new_w.update(bn_stats)  # EMA-updated running stats (train-mode BN)
         if momentum > 0:
             return loss, new_w, mom_state
         return loss, new_w

@@ -117,3 +117,34 @@ def test_train_step_momentum_and_decay():
                          weight_decay=0.5)
     _, w_d = wd(w0, x, labels)
     assert float(jnp.linalg.norm(w_d[k])) < float(jnp.linalg.norm(w_p[k]))
+
+
+def test_train_mode_batchnorm_updates_running_stats():
+    """bn_momentum>0: BN normalizes with batch stats and EMA-updates the
+    stored running stats toward them (sf re-pinned to 1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boda_tpu.models.zoo import build_mini_resnet
+    from boda_tpu.parallel.train import find_logits_node, make_train_step
+    pipe, in_dims = build_mini_resnet(img=4, num_cls=8, in_sz=8)
+    logits = find_logits_node(pipe)
+    rng = np.random.RandomState(1)
+    x = {"data": (rng.randn(*in_dims["data"].shape) * 3 + 5).astype(np.float32)}
+    labels = np.array([0, 1, 2, 3], dtype=np.int32)
+    w0 = {k: jnp.asarray(w.data) for k, w in pipe.weights.items()}
+    step = make_train_step(pipe, logits, lr=0.01, clip_norm=1.0,
+                           bn_momentum=0.1)
+    _, w1 = step(w0, x, labels)
+    k = next(k for k in w0 if k.endswith("__means"))
+    old = np.asarray(w0[k])
+    new = np.asarray(w1[k])
+    assert not np.allclose(old, new)  # stats moved
+    sf = k[: -len("__means")] + "__sf"
+    assert float(np.asarray(w1[sf])[0]) == 1.0
+    # EMA: new = 0.9*old + 0.1*batch => batch = (new - 0.9*old)/0.1 finite
+    batch = (new - 0.9 * old) / 0.1
+    assert np.isfinite(batch).all()
+    # second step threads the updated stats without error
+    loss2, w2 = step(w1, x, labels)
+    assert np.isfinite(float(loss2))
