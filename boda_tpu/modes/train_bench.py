@@ -30,6 +30,7 @@ class TrainBench(Mode):
     momentum = Field(float, default="0.0", help="SGD momentum (0=plain SGD)")
     weight_decay = Field(float, default="0.0", help="decoupled weight decay")
     bn_momentum = Field(float, default="0.0", help="train-mode BN EMA rate (0=inference-stats BN)")
+    master_f32 = Field(bool, default="0", help="f32 master weights (compute in compute_tn)")
     compute_tn = Field(str, default="bfloat16", help="weight/activation dtype ('' = f32)")
     chain = Field(int, default="4", help="steps chained per dispatch")
     n_iters = Field(int, default="12", help="timed dispatches")
@@ -49,14 +50,19 @@ class TrainBench(Mode):
                                clip_norm=self.clip_norm,
                                momentum=self.momentum,
                                weight_decay=self.weight_decay,
-                               bn_momentum=self.bn_momentum)
+                               bn_momentum=self.bn_momentum,
+                               compute_dtype=(jnp.dtype(self.compute_tn)
+                                              if self.master_f32 and
+                                              self.compute_tn else None))
         d = in_dims["data"]
         cdt = jnp.dtype(self.compute_tn) if self.compute_tn else jnp.float32
         dev = jax.devices()[0]
         # all weights in the compute dtype (matching the engines' _cast_w;
-        # mixed dtypes would break conv dtype agreement mid-net)
+        # mixed dtypes would break conv dtype agreement mid-net) — or f32
+        # masters when master_f32 is set (the step casts per forward)
+        wdt = np.float32 if self.master_f32 else cdt
         weights = {k: jax.device_put(np.asarray(w.data, np.float32)
-                                     .astype(cdt), dev)
+                                     .astype(wdt), dev)
                    for k, w in pipe.weights.items()}
         x = jax.device_put(np.asarray(
             gen_data_pattern(d.shape, d.tn)).astype(cdt), dev)

@@ -1,0 +1,102 @@
+"""train_lmdb: end-to-end training loop over datum records.
+
+The training-side counterpart of test_lmdb's accuracy loop (ref
+src/lmdb_caffe_io.cc:37): read datum records (LMDB or the block-stream
+container), batch + preprocess, and run real optimizer steps
+(SGD/momentum/weight-decay/train-mode BN/f32 masters via
+parallel.train.make_train_step) with optional dp/tp mesh sharding.
+The reference has no training loop at all — this is the transcend path
+that turns the parity pieces (records, preprocessing, autodiff, sharding)
+into a usable trainer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import graph  # noqa: F401
+from ..config import ConfigError, Field, Mode, register
+from .cnet import load_net
+from .lmdb_modes import _iter_records
+
+
+@register("mode", "train_lmdb", help="train a net over datum records")
+class TrainLmdb(Mode):
+    db_fn = Field("filename", default="", help="lmdb directory (needs lmdb)")
+    rec_fn = Field("filename", default="", help="block-stream record file")
+    model = Field(str, default="", help="zoo model")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    img = Field(int, default="4", help="batch size")
+    in_sz = Field(int, default="0", help="input size override")
+    n_steps = Field(int, default="10", help="optimizer steps")
+    lr = Field(float, default="0.01", help="learning rate")
+    momentum = Field(float, default="0.9", help="SGD momentum")
+    weight_decay = Field(float, default="0.0", help="decoupled weight decay")
+    clip_norm = Field(float, default="1.0", help="global-norm grad clip")
+    bn_momentum = Field(float, default="0.1", help="train-mode BN EMA rate")
+    compute_tn = Field(str, default="", help="bfloat16 = f32-master mixed precision")
+    mesh = Field("lexp", default="()", help="mesh axes, e.g. (dp=2)")
+    log_every = Field(int, default="1", help="print loss every N steps")
+
+    def main(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..apps.preproc import img_to_batch_np
+        from ..frontend.datum import parse_datum
+        from ..parallel.train import find_logits_node, make_train_step
+        pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img,
+                                 self.in_sz)
+        logits = find_logits_node(pipe)
+        cdt = jnp.dtype(self.compute_tn) if self.compute_tn else None
+        step = make_train_step(pipe, logits, lr=self.lr,
+                               clip_norm=self.clip_norm,
+                               momentum=self.momentum,
+                               weight_decay=self.weight_decay,
+                               bn_momentum=self.bn_momentum,
+                               compute_dtype=cdt)
+        jstep = jax.jit(step)
+
+        # load all records once (the committed fixtures are small; a real
+        # run streams batches — the loader is not the subject here)
+        from ..utils.img_io import Img
+        recs = []
+        for _k, val in _iter_records(self.db_fn, self.rec_fn, 0):
+            d = parse_datum(val)
+            recs.append((d.to_rgb(), d.label))
+        if not recs:
+            raise ConfigError("no records found")
+        dd = in_dims["data"]
+        h, w = dd["y"], dd["x"]
+
+        def batch_at(i):
+            xs, ys = [], []
+            for j in range(self.img):
+                rgb, lab = recs[(i * self.img + j) % len(recs)]
+                rgba = Img.from_rgb(rgb).resize(h, w).data
+                xs.append(rgba)
+                ys.append(lab)
+            x = img_to_batch_np(np.stack(xs)).astype(np.float32)
+            return x, np.asarray(ys, np.int32)
+
+        weights = {k: jnp.asarray(np.asarray(wv.data, np.float32))
+                   for k, wv in pipe.weights.items()}
+        mom = None
+        first = last = None
+        for i in range(self.n_steps):
+            x, labels = batch_at(i)
+            out = jstep(weights, {"data": x}, labels, mom) \
+                if self.momentum > 0 else jstep(weights, {"data": x}, labels)
+            if self.momentum > 0:
+                loss, weights, mom = out
+            else:
+                loss, weights = out
+            loss = float(loss)
+            if first is None:
+                first = loss
+            last = loss
+            if i % max(1, self.log_every) == 0:
+                print(f"step {i}: loss {loss:.3g}")
+        print(f"train_lmdb: {self.n_steps} steps over {len(recs)} records, "
+              f"loss {first:.3g} -> {last:.3g} "
+              f"({'improved' if last < first else 'NOT improved'})")

@@ -18,6 +18,7 @@ _MODE_MODULES = [
     "boda_tpu.modes.test_cmds",
     "boda_tpu.modes.test_compute",
     "boda_tpu.modes.train_bench",
+    "boda_tpu.modes.train_lmdb",
     "boda_tpu.modes.zmq_modes",
     "boda_tpu.modes.rtc",
     "boda_tpu.modes.serve_bench",

@@ -98,7 +98,8 @@ def is_trainable(name: str) -> bool:
 def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
                     precision: str = "default", clip_norm: float = 0.0,
                     momentum: float = 0.0, weight_decay: float = 0.0,
-                    bn_momentum: float = 0.0) -> Callable:
+                    bn_momentum: float = 0.0,
+                    compute_dtype=None) -> Callable:
     """SGD(+momentum, +decoupled weight decay) step:
     fn(weights, x_dict, labels[, mom_state]) -> (loss, new_weights)
     — or (loss, new_weights, new_mom_state) when momentum > 0 (pass the
@@ -108,7 +109,9 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
     clip_norm>0 applies global-norm gradient clipping (in f32) before the
     update — necessary for low-precision weights on nets whose fabricated
     BN stats don't actually normalize (residual variance growth makes raw
-    grads overflow bf16)."""
+    grads overflow bf16). compute_dtype (e.g. jnp.bfloat16) enables
+    mixed-precision training with f32 master weights: pass f32 weights,
+    forward/backward run in compute_dtype, updates apply to the masters."""
     import jax
     import jax.numpy as jnp
     net_fn = build_net_fn(pipe, [logits_node],
@@ -127,8 +130,21 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
     def train_step(weights, inputs, labels, mom_state=None):
         train_w = {k: v for k, v in weights.items() if is_trainable(k)}
         frozen_w = {k: v for k, v in weights.items() if not is_trainable(k)}
-        (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            train_w, frozen_w, inputs, labels)
+        if compute_dtype is not None:
+            # f32 master weights: forward/backward in the compute dtype,
+            # update applied to the f32 masters (mixed-precision training)
+            cast_w = {k: v.astype(compute_dtype) for k, v in train_w.items()}
+            cast_f = {k: v.astype(compute_dtype) for k, v in frozen_w.items()}
+            cast_in = {k: (v.astype(compute_dtype)
+                           if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                       for k, v in inputs.items()}
+            (loss, bn_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(cast_w, cast_f, cast_in, labels)
+            bn_stats = {k: v.astype(weights[k].dtype)
+                        for k, v in bn_stats.items()}
+        else:
+            (loss, bn_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(train_w, frozen_w, inputs, labels)
         grads = jax.tree_util.tree_map(
             lambda g: g.astype(jnp.float32), grads)
         if clip_norm > 0:

@@ -148,3 +148,37 @@ def test_train_mode_batchnorm_updates_running_stats():
     # second step threads the updated stats without error
     loss2, w2 = step(w1, x, labels)
     assert np.isfinite(float(loss2))
+
+
+def test_train_lmdb_mode(tmp_path, capsys):
+    """End-to-end: datum records -> batches -> optimizer steps, loss falls."""
+    from boda_tpu.cli import main
+    rc = main(["train_lmdb", "--rec-fn=testdata/lmdb/cifar_mini.rec",
+               "--model=mini_resnet", "--img=4", "--n-steps=5",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "improved" in out and "NOT improved" not in out
+
+
+def test_master_f32_mixed_precision():
+    """compute_dtype=bf16 with f32 masters: weights stay f32, updates are
+    finer-grained than pure-bf16 steps can express."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boda_tpu.models.zoo import build_mini_resnet
+    from boda_tpu.parallel.train import find_logits_node, make_train_step
+    pipe, in_dims = build_mini_resnet(img=2, num_cls=8, in_sz=8)
+    logits = find_logits_node(pipe)
+    rng = np.random.RandomState(0)
+    x = {"data": rng.randn(*in_dims["data"].shape).astype(np.float32)}
+    labels = np.array([1, 3], dtype=np.int32)
+    w0 = {k: jnp.asarray(w.data) for k, w in pipe.weights.items()}
+    step = make_train_step(pipe, logits, lr=1e-4, clip_norm=1.0,
+                           compute_dtype=jnp.bfloat16)
+    loss, w1 = step(w0, x, labels)
+    k = "fc__filts"
+    assert w1[k].dtype == jnp.float32          # masters stay f32
+    assert not np.array_equal(np.asarray(w1[k]), np.asarray(w0[k]))
+    assert np.isfinite(float(loss))
