@@ -24,6 +24,8 @@ class ZmqDetServer(Mode):
     top_n = Field(int, default="5", help="classes per reply")
     max_requests = Field(int, default="0", help="exit after N requests (0=forever)")
 
+    conf_thresh = Field(float, default="0.1", help="min det score (detection nets)")
+
     def main(self) -> None:
         from ..apps.preproc import img_to_batch_np
         from ..apps.zmq_det import serve
@@ -31,14 +33,32 @@ class ZmqDetServer(Mode):
                                  img=1, in_sz=self.in_sz)
         self.conv_fwd.init(pipe)
         d = in_dims["data"]
+        # a net with a DetectionOutput head serves BOXES (the reference's
+        # zmq service is a DETECTION service, ref zmq-util.cc:15-156);
+        # classification nets serve top-N class probabilities
+        det_ops = [op for op in pipe.ops.values()
+                   if op.type == "DetectionOutput"]
+        out_node = det_ops[-1].tops[0] if det_ops and \
+            self.out_node_name == "prob" else self.out_node_name
 
         def predict(rgba: np.ndarray) -> dict:
             from ..utils.img_io import Img
+            ih, iw = rgba.shape[0], rgba.shape[1]
             im = Img(rgba).resize(d["y"], d["x"])
             x = img_to_batch_np(im.data[None]).astype(np.float32)
-            outs = self.conv_fwd.run_fwd({"data": NDA(d, x)},
-                                         [self.out_node_name])
-            prob = outs[self.out_node_name].data.reshape(-1)
+            outs = self.conv_fwd.run_fwd({"data": NDA(d, x)}, [out_node])
+            if det_ops:
+                recs = np.asarray(outs[out_node].data,
+                                  np.float32).reshape(-1, 7)
+                dets = []
+                for _i, lab, score, x0, y0, x1, y1 in recs:
+                    if lab < 0 or score < self.conf_thresh:
+                        continue
+                    dets.append({"cls": int(lab), "score": float(score),
+                                 "box": [float(x0 * iw), float(y0 * ih),
+                                         float(x1 * iw), float(y1 * ih)]})
+                return {"dets": dets}
+            prob = outs[out_node].data.reshape(-1)
             top = np.argsort(-prob)[: self.top_n]
             return {"top": [{"cls": int(c), "p": float(prob[c])} for c in top]}
 

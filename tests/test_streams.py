@@ -426,3 +426,25 @@ def test_rosbag_src_stream_topics():
     src2.start()
     b = src2.read()
     assert b.tag == "/cam/image" and b.nda.data.shape == (6, 8, 3)
+
+
+def test_zmq_detection_service(tmp_path):
+    """A DetectionOutput-headed net serves boxes (the reference's zmq
+    service is a DETECTION service, ref zmq-util.cc:15-156)."""
+    port = 25997
+    server = subprocess.Popen(
+        [sys.executable, "-m", "boda_tpu", "zmq_det_server",
+         f"--endpoint=tcp://127.0.0.1:{port}",
+         "--model=", "--ptt-fn=testdata/nets/tinyssd.prototxt",
+         "--conf-thresh=0.3", "--max-requests=1"],
+        cwd="/root/repo", env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu"})
+    try:
+        from boda_tpu.apps.zmq_det import Client
+        c = Client(f"tcp://127.0.0.1:{port}", timeout_ms=120000)
+        res = c.predict_file("/root/repo/testdata/images/test1.png")
+        assert "dets" in res and res["dets"], res
+        d0 = res["dets"][0]
+        assert {"cls", "score", "box"} <= set(d0) and len(d0["box"]) == 4
+        c.close()
+    finally:
+        assert server.wait(timeout=60) == 0
