@@ -348,6 +348,15 @@ def _lower_eltwise(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
     return fn
 
 
+@lower_rule("Reduce")
+def _lower_reduce(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
+    """N-ary elementwise sum (ref Reduce_coi, conv_util.cc:57): merges
+    gradients from multiple consumers in add_bck_ops (conv_util.cc:844)."""
+    def fn(*xs):
+        return (sum(xs[1:], start=xs[0]),)
+    return fn
+
+
 # -- classification head ------------------------------------------------------------------
 
 def _softmax(x, axis=1):
@@ -443,14 +452,16 @@ def _lower_bck_dropout(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
     forward drew (ctx.det_drop_seed + op-name hash keeps them aligned when
     the BckDropout op is named '<fwd_name>__bck')."""
     ratio = float(op.p("dropout_ratio", 0.5))
+    # the activation input is optional: the reference's add_bck_ops builds
+    # BckDropout with a single grad input (ref conv_util.cc:40)
     if not ctx.train:
-        def fn(g, _act):
+        def fn(g, _act=None):
             return (g,)
         return fn
     base = op.name[:-5] if op.name.endswith("__bck") else op.name
     seed = ctx.det_drop_seed + (stable_hash(base) & 0xFFFF)
 
-    def fn(g, _act):
+    def fn(g, _act=None):
         import jax
         key = jax.random.PRNGKey(seed)
         mask = jax.random.bernoulli(key, 1.0 - ratio, g.shape)

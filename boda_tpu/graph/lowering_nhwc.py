@@ -446,6 +446,14 @@ def _nhwc_eltwise(pipe, op, ctx, tune, info_log):
     return _no_preps(fn)
 
 
+@nhwc_rule("Reduce")
+def _nhwc_reduce(pipe, op, ctx, tune, info_log):
+    """N-ary elementwise sum (ref Reduce_coi, conv_util.cc:57)."""
+    def fn(*xs):
+        return (sum(xs[1:], start=xs[0]),)
+    return _no_preps(fn)
+
+
 @nhwc_rule("Softmax")
 def _nhwc_softmax(pipe, op, ctx, tune, info_log):
     ind = pipe.must_dims(op.bots[0])

@@ -63,8 +63,11 @@ class CnetDetect(_NetMode):
         names = [s for s in self.cls_names.split(":") if s]
         lines = []
         for rec in dets:
-            _img_i, lab, score, x0, y0, x1, y1 = (float(v) for v in rec)
-            if lab < 0 or score < self.conf_thresh:
+            img_i, lab, score, x0, y0, x1, y1 = (float(v) for v in rec)
+            # the single input image is repeated across the batch: keep only
+            # batch index 0 or every detection is duplicated img-times
+            # (duplicates count as false positives in the inline AP scoring)
+            if img_i != 0 or lab < 0 or score < self.conf_thresh:
                 continue
             lab = int(lab)
             cls = names[lab] if lab < len(names) else f"cls{lab}"

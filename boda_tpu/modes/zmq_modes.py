@@ -40,6 +40,9 @@ class ZmqDetServer(Mode):
                    if op.type == "DetectionOutput"]
         out_node = det_ops[-1].tops[0] if det_ops and \
             self.out_node_name == "prob" else self.out_node_name
+        # the dets reply shape only applies when the SERVED node is a
+        # detection head; --out-node-name may point elsewhere on an SSD net
+        is_det_node = out_node in {op.tops[0] for op in det_ops}
 
         def predict(rgba: np.ndarray) -> dict:
             from ..utils.img_io import Img
@@ -47,7 +50,7 @@ class ZmqDetServer(Mode):
             im = Img(rgba).resize(d["y"], d["x"])
             x = img_to_batch_np(im.data[None]).astype(np.float32)
             outs = self.conv_fwd.run_fwd({"data": NDA(d, x)}, [out_node])
-            if det_ops:
+            if is_det_node:
                 recs = np.asarray(outs[out_node].data,
                                   np.float32).reshape(-1, 7)
                 dets = []

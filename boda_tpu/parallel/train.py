@@ -134,7 +134,10 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
             # f32 master weights: forward/backward in the compute dtype,
             # update applied to the f32 masters (mixed-precision training)
             cast_w = {k: v.astype(compute_dtype) for k, v in train_w.items()}
-            cast_f = {k: v.astype(compute_dtype) for k, v in frozen_w.items()}
+            # frozen BN statistics stay f32: they feed the running-stat EMA,
+            # and deriving new = (1-m)*old + m*batch from bf16 round-trips of
+            # the masters accumulates quantization error over long runs
+            cast_f = frozen_w
             cast_in = {k: (v.astype(compute_dtype)
                            if jnp.issubdtype(v.dtype, jnp.floating) else v)
                        for k, v in inputs.items()}
