@@ -37,6 +37,16 @@ class TrainLmdb(Mode):
     compute_tn = Field(str, default="", help="bfloat16 = f32-master mixed precision")
     mesh = Field("lexp", default="()", help="mesh axes, e.g. (dp=2)")
     log_every = Field(int, default="1", help="print loss every N steps")
+    # LR schedules (parallel/schedules.py): lr is the base rate
+    lr_schedule = Field(str, default="const", help="const | step | cosine")
+    warmup_steps = Field(int, default="0", help="linear LR warmup steps")
+    lr_gamma = Field(float, default="0.1", help="step-schedule decay factor")
+    lr_step_size = Field(int, default="0", help="step-schedule period")
+    # checkpoint/resume (parallel/checkpoint.py): atomic weights+momentum+
+    # BN-stats+step snapshots; --resume=1 continues from ckpt_fn if present
+    ckpt_fn = Field(str, default="", help="checkpoint file (enables saving)")
+    ckpt_every = Field(int, default="0", help="save every N steps (0: at end only)")
+    resume = Field(bool, default="0", help="resume from ckpt_fn if it exists")
 
     def main(self) -> None:
         import jax
@@ -49,12 +59,19 @@ class TrainLmdb(Mode):
                                  self.in_sz)
         logits = find_logits_node(pipe)
         cdt = jnp.dtype(self.compute_tn) if self.compute_tn else None
+        from ..parallel.schedules import make_lr_schedule
+        sched = make_lr_schedule(self.lr_schedule, self.lr,
+                                 total_steps=self.n_steps,
+                                 warmup_steps=self.warmup_steps,
+                                 gamma=self.lr_gamma,
+                                 step_size=self.lr_step_size)
         step = make_train_step(pipe, logits, lr=self.lr,
                                clip_norm=self.clip_norm,
                                momentum=self.momentum,
                                weight_decay=self.weight_decay,
                                bn_momentum=self.bn_momentum,
-                               compute_dtype=cdt)
+                               compute_dtype=cdt,
+                               lr_schedule=sched)
         jstep = jax.jit(step)
 
         # load all records once (the committed fixtures are small; a real
@@ -82,11 +99,33 @@ class TrainLmdb(Mode):
         weights = {k: jnp.asarray(np.asarray(wv.data, np.float32))
                    for k, wv in pipe.weights.items()}
         mom = None
+        start = 0
+        ckpt = self.out_path(self.ckpt_fn) if self.ckpt_fn else ""
+        if self.resume and ckpt:
+            import os
+
+            from ..parallel.checkpoint import load_checkpoint
+            if os.path.exists(ckpt):
+                start, w_np, m_np = load_checkpoint(ckpt)
+                weights = {k: jnp.asarray(v) for k, v in w_np.items()}
+                mom = {k: jnp.asarray(v) for k, v in m_np.items()} \
+                    if m_np is not None else None
+                print(f"resumed from {self.ckpt_fn} at step {start}")
+
+        def save(i):
+            from ..parallel.checkpoint import save_checkpoint
+            save_checkpoint(ckpt, i,
+                            {k: np.asarray(v) for k, v in weights.items()},
+                            {k: np.asarray(v) for k, v in mom.items()}
+                            if mom is not None else None)
+
         first = last = None
-        for i in range(self.n_steps):
+        for i in range(start, self.n_steps):
             x, labels = batch_at(i)
-            out = jstep(weights, {"data": x}, labels, mom) \
-                if self.momentum > 0 else jstep(weights, {"data": x}, labels)
+            out = jstep(weights, {"data": x}, labels, mom,
+                        step=jnp.int32(i)) \
+                if self.momentum > 0 else \
+                jstep(weights, {"data": x}, labels, step=jnp.int32(i))
             if self.momentum > 0:
                 loss, weights, mom = out
             else:
@@ -97,6 +136,14 @@ class TrainLmdb(Mode):
             last = loss
             if i % max(1, self.log_every) == 0:
                 print(f"step {i}: loss {loss:.3g}")
-        print(f"train_lmdb: {self.n_steps} steps over {len(recs)} records, "
-              f"loss {first:.3g} -> {last:.3g} "
+            if ckpt and self.ckpt_every and (i + 1) % self.ckpt_every == 0:
+                save(i + 1)
+        if ckpt:
+            save(self.n_steps)
+        if first is None:  # resumed past the end
+            print(f"train_lmdb: nothing to do (resumed at {start} "
+                  f">= n_steps {self.n_steps})")
+            return
+        print(f"train_lmdb: {self.n_steps - start} steps over {len(recs)} "
+              f"records, loss {first:.3g} -> {last:.3g} "
               f"({'improved' if last < first else 'NOT improved'})")

@@ -99,7 +99,8 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
                     precision: str = "default", clip_norm: float = 0.0,
                     momentum: float = 0.0, weight_decay: float = 0.0,
                     bn_momentum: float = 0.0,
-                    compute_dtype=None) -> Callable:
+                    compute_dtype=None,
+                    lr_schedule: Optional[Callable] = None) -> Callable:
     """SGD(+momentum, +decoupled weight decay) step:
     fn(weights, x_dict, labels[, mom_state]) -> (loss, new_weights)
     — or (loss, new_weights, new_mom_state) when momentum > 0 (pass the
@@ -111,7 +112,10 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
     BN stats don't actually normalize (residual variance growth makes raw
     grads overflow bf16). compute_dtype (e.g. jnp.bfloat16) enables
     mixed-precision training with f32 master weights: pass f32 weights,
-    forward/backward run in compute_dtype, updates apply to the masters."""
+    forward/backward run in compute_dtype, updates apply to the masters.
+    lr_schedule (see parallel.schedules.make_lr_schedule) makes the step
+    take a trailing ``step=`` index and derive lr from it inside the jit
+    (one compiled program for the whole run, no per-step recompiles)."""
     import jax
     import jax.numpy as jnp
     net_fn = build_net_fn(pipe, [logits_node],
@@ -127,7 +131,8 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
         nll = -jnp.take_along_axis(logp, labels.reshape(-1, 1), axis=1)
         return jnp.mean(nll), res.get("__bn_stats__", {})
 
-    def train_step(weights, inputs, labels, mom_state=None):
+    def train_step(weights, inputs, labels, mom_state=None, step=None):
+        lr_t = lr if lr_schedule is None else lr_schedule(step)
         train_w = {k: v for k, v in weights.items() if is_trainable(k)}
         frozen_w = {k: v for k, v in weights.items() if not is_trainable(k)}
         if compute_dtype is not None:
@@ -164,10 +169,10 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
                 lambda m, g: momentum * m + g, mom_state, grads)
             grads = mom_state
         def upd(w, g):
-            step = lr * g
+            delta = lr_t * g
             if weight_decay > 0:  # decoupled (AdamW-style) decay
-                step = step + lr * weight_decay * w.astype(jnp.float32)
-            return (w.astype(jnp.float32) - step).astype(w.dtype)
+                delta = delta + lr_t * weight_decay * w.astype(jnp.float32)
+            return (w.astype(jnp.float32) - delta).astype(w.dtype)
         new_w = jax.tree_util.tree_map(upd, train_w, grads)
         new_w.update(frozen_w)
         new_w.update(bn_stats)  # EMA-updated running stats (train-mode BN)
