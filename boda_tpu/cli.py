@@ -10,14 +10,15 @@ from __future__ import annotations
 import sys
 
 from . import modes_all  # noqa: F401  (imports register all modes)
-from .config import ConfigError, default_cfg_init, help_str, instantiate
+from .config import (ConfigError, default_cfg_init, help_str, instantiate,
+                     run_mode)
 from .utils.lexp import LexpError, lexp_from_argv, parse_lexp_xml_file
 from .utils.timers import timer_log_finalize
 
 
 def run_mode_lexp(l) -> None:
     mode = instantiate("mode", l, check_unused_keys=True)
-    mode.main()
+    run_mode(mode)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -21,7 +21,7 @@ import shutil
 import sys
 import xml.etree.ElementTree as ET
 
-from ..config import ConfigError, Field, Mode, register
+from ..config import ConfigError, Field, Mode, register, run_mode
 from ..utils.features import is_feature_enabled
 from ..utils.lexp import LexpError, lexp_from_argv
 
@@ -129,7 +129,7 @@ class TestCmds(Mode):
             l.add("boda_output_dir", out_dir)
             with contextlib.redirect_stdout(stdout):
                 mode = instantiate("mode", l, check_unused_keys=True)
-                mode.main()
+                run_mode(mode)
         except (ConfigError, LexpError, ValueError) as e:
             err_msg = str(e)
         except SystemExit as e:
@@ -185,7 +185,7 @@ class TestAll(Mode):
                 if l.get_kid("boda_output_dir") is None:
                     l.add("boda_output_dir", self.boda_output_dir)
                 mode = instantiate("mode", l, check_unused_keys=True)
-                mode.main()
+                run_mode(mode)
             except SystemExit as e:
                 if e.code:
                     n_fail += 1

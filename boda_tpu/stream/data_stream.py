@@ -22,7 +22,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..config import ConfigError, Field, register, register_base
+from ..config import ConfigError, Field, get_env, register, register_base
 from ..utils.dims import NDA, Dims, np_dtype
 
 
@@ -58,6 +58,16 @@ class DataStream:
 
     def finish(self) -> None:
         pass
+
+
+def _out_path(fn: str) -> str:
+    """Resolve a sink's relative output filename under the running mode's
+    boda_output_dir (pushed into the config env by config.run_mode)."""
+    if os.path.isabs(fn):
+        return fn
+    d = get_env().get("boda_output_dir", ".")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, fn)
 
 
 # -- binary block container ------------------------------------------------------
@@ -307,6 +317,243 @@ class TsMerge(DataStream):
         return p
 
 
+@register("data_stream", "merge",
+          help="read one block from each named stream per step; subs named by key")
+class Merge(DataStream):
+    """ref data_stream_merge_t (data-stream.cc:409): produce one block per read
+    holding a sub-block from every input stream; keeps going until *all* inputs
+    are exhausted (exhausted inputs simply stop contributing subs)."""
+    streams = Field((dict, "data_stream"), req=True, help="named input streams")
+
+    def start(self) -> None:
+        for s in self.streams.values():
+            s.start()
+        self._done: set[str] = set()
+        self._n = 0
+
+    def read(self):
+        out = DataBlock(tag="merge", frame_ix=self._n)
+        first = True
+        for name, s in self.streams.items():
+            if name in self._done:
+                continue
+            b = s.read()
+            if b is None:
+                self._done.add(name)
+                continue
+            out.subs[name] = b
+            if first:
+                out.ts = b.ts
+                first = False
+        if not out.subs:
+            return None
+        self._n += 1
+        return out
+
+
+@register("data_stream", "seq",
+          help="concatenate finite streams: read each to exhaustion in order")
+class Seq(DataStream):
+    """ref data_stream_seq_t (data-stream.cc:462)."""
+    streams = Field((list, "data_stream"), req=True, help="input streams, in order")
+
+    def start(self) -> None:
+        for s in self.streams:
+            s.start()
+        self._ix = 0
+
+    def read(self):
+        while self._ix < len(self.streams):
+            b = self.streams[self._ix].read()
+            if b is not None:
+                return b
+            self._ix += 1
+        return None
+
+
+@register("data_stream", "sync",
+          help="primary-driven streaming nearest-ts alignment of named streams")
+class Sync(DataStream):
+    """ref data_stream_sync_t (data-stream.cc:622): for each primary block, emit
+    a block whose subs hold the nearest-by-ts block of every secondary stream.
+    Streaming (two-block window per secondary, unlike ts-merge's full buffering);
+    if ``max_dt`` is nonzero and any secondary has no block within it, the
+    primary block is *skipped* entirely (ref max_delta_ns semantics)."""
+    primary = Field("data_stream", req=True, help="driving stream")
+    secondary = Field((dict, "data_stream"), req=True, help="named follower streams")
+    max_dt = Field(int, default="0", help="if nonzero: max |ts delta|, else skip primary")
+
+    def start(self) -> None:
+        self.primary.start()
+        self._win: dict[str, list[Optional[DataBlock]]] = {}
+        for name, s in self.secondary.items():
+            s.start()
+            b0 = s.read()
+            if b0 is None:
+                raise ConfigError(f"sync: no blocks at all in secondary stream '{name}'")
+            self._win[name] = [b0, s.read()]
+        self._n = 0
+
+    def read(self):
+        while True:
+            p = self.primary.read()
+            if p is None:
+                return None
+            ok = True
+            picks: dict[str, DataBlock] = {}
+            for name, s in self.secondary.items():
+                win = self._win[name]
+                # advance window until tail is the last block with ts < primary ts
+                while win[1] is not None and win[1].ts < p.ts:
+                    win[0] = win[1]
+                    win[1] = s.read()
+                tail_dt = abs(win[0].ts - p.ts)
+                head_closer = win[1] is not None and abs(win[1].ts - p.ts) < tail_dt
+                best = win[1] if head_closer else win[0]
+                if self.max_dt and abs(best.ts - p.ts) > self.max_dt:
+                    ok = False
+                    break
+                picks[name] = best
+            if not ok:
+                continue
+            p.subs.update(picks)
+            p.frame_ix = self._n
+            self._n += 1
+            return p
+
+
+@register("data_stream", "fold",
+          help="move sub-block 'src' to be a sub-sub-block of sub 'targ' (or drop)")
+class Fold(DataStream):
+    """ref data_stream_fold_t (data-stream.cc:542); subs are named here, so
+    src/targ are sub-block names rather than indices."""
+    src = Field("data_stream", req=True, help="upstream (blocks must have subs)")
+    fold_src = Field(str, req=True, help="name of sub-block to fold")
+    fold_targ = Field(str, default="", help="name of target sub (empty: drop src)")
+
+    def start(self) -> None:
+        self.src.start()
+
+    def read(self):
+        b = self.src.read()
+        if b is None:
+            return None
+        if not b.subs:
+            raise ConfigError("fold: input data block has no subblocks")
+        if self.fold_src not in b.subs:
+            raise ConfigError(f"fold: no sub-block named '{self.fold_src}' in input "
+                              f"block (has: {','.join(b.subs)})")
+        sb = b.subs.pop(self.fold_src)
+        if self.fold_targ:
+            if self.fold_targ not in b.subs:
+                raise ConfigError(f"fold: no sub-block named '{self.fold_targ}' in "
+                                  f"input block (has: {','.join(b.subs)})")
+            b.subs[self.fold_targ].subs[self.fold_src] = sb
+        return b
+
+
+@register("data_stream", "flatten",
+          help="flatten subs-of-subs into one level ('outer.inner' names)")
+class Flatten(DataStream):
+    """ref data_stream_flatten_t (data-stream.cc:506): every sub-block must
+    itself have subs; the output block holds all sub-subs, dot-prefixed by the
+    outer sub name so merges of syncs stay collision-free."""
+    src = Field("data_stream", req=True, help="upstream (blocks of blocks)")
+
+    def start(self) -> None:
+        self.src.start()
+
+    def read(self):
+        b = self.src.read()
+        if b is None:
+            return None
+        if not b.subs:
+            raise ConfigError("flatten: input data block must have subblocks")
+        out = DataBlock(ts=b.ts, tag=b.tag, frame_ix=b.frame_ix)
+        for name, sb in b.subs.items():
+            if not sb.subs:
+                raise ConfigError("flatten: all stream output data blocks must "
+                                  f"have subblocks (sub '{name}' does not)")
+            for iname, isb in sb.subs.items():
+                out.subs[f"{name}.{iname}"] = isb
+        return out
+
+
+@register("data_stream", "sort-by-ts",
+          help="buffer up to max_buf blocks, emit in timestamp order")
+class SortByTs(DataStream):
+    """ref data_stream_sort_by_ts_t (data-stream.cc:859): buffer blocks until
+    end-of-stream (or ``max_buf`` reached), then flush sorted by ts."""
+    src = Field("data_stream", req=True, help="upstream source")
+    max_buf = Field(int, default="0", help="flush when buffer reaches N (0=unlimited)")
+
+    def start(self) -> None:
+        self.src.start()
+        self._buf: list[DataBlock] = []
+        self._flush_pos = -1
+
+    def read(self):
+        while True:
+            if self._flush_pos >= 0:  # flush in progress
+                b = self._buf[self._flush_pos]
+                self._flush_pos += 1
+                if self._flush_pos == len(self._buf):
+                    self._buf = []
+                    self._flush_pos = -1
+                return b
+            b = self.src.read()
+            if b is not None:
+                self._buf.append(b)
+                if self.max_buf and len(self._buf) >= self.max_buf:
+                    self._buf.sort(key=lambda x: x.ts)
+                    self._flush_pos = 0
+                continue
+            if not self._buf:
+                return None
+            self._buf.sort(key=lambda x: x.ts)
+            self._flush_pos = 0
+
+
+@register("data_stream", "pass", help="identity transform")
+class Pass(DataStream):
+    """ref data_stream_pass_t (data-stream.cc:965)."""
+    src = Field("data_stream", req=True, help="upstream source")
+
+    def start(self) -> None:
+        self.src.start()
+
+    def read(self):
+        return self.src.read()
+
+
+@register("data_stream", "adj-angle",
+          help="normalize angle ndas (degrees) to [-180,180) with offset")
+class AdjAngle(DataStream):
+    """ref data_stream_adj_angle_t (data-stream.cc:944)."""
+    src = Field("data_stream", req=True, help="upstream source")
+    adj = Field(float, default="0.0", help="added offset (degrees)")
+    negate = Field(int, default="0", help="if nonzero, negate input angle")
+
+    def start(self) -> None:
+        self.src.start()
+
+    def read(self):
+        b = self.src.read()
+        if b is None:
+            return None
+        if b.nda is None:
+            raise ConfigError("can only adj-angle on data blocks with nda data, "
+                              "but nda was null in input db.")
+        v = b.nda.data.astype(np.float64)
+        if self.negate:
+            v = -v
+        v = np.mod(v + self.adj + 180.0, 360.0)
+        v += np.where(v < 0, 180.0, -180.0)
+        out = v if b.nda.data.dtype.kind == "f" else np.rint(v)
+        b.nda = NDA(b.nda.dims, np.ascontiguousarray(out.astype(b.nda.data.dtype)))
+        return b
+
+
 # -- sinks ------------------------------------------------------------------------------
 
 @register("data_stream", "null-sink", help="discard blocks (count only)")
@@ -321,9 +568,18 @@ class NullSink(DataStream):
 
 @register("data_stream", "print-sink", help="print block briefs")
 class PrintSink(DataStream):
+    deep = Field(int, default="0", help="if nonzero, also print nested sub-blocks")
+
     def proc(self, blk):
         print(blk.brief())
+        if self.deep:
+            self._print_subs(blk, "  ")
         return None
+
+    def _print_subs(self, blk: DataBlock, indent: str) -> None:
+        for name, sb in blk.subs.items():
+            print(f"{indent}{name}: {sb.brief()}")
+            self._print_subs(sb, indent + "  ")
 
 
 @register("data_stream", "block-file-sink", help="write a binary block-stream file")
@@ -338,7 +594,7 @@ class BlockFileSink(DataStream):
         return None
 
     def finish(self) -> None:
-        write_block_stream(self.fn, self._blocks)
+        write_block_stream(_out_path(self.fn), self._blocks)
 
 
 @register("data_stream", "csv-sink", help="write nda blocks as csv rows")
@@ -346,7 +602,7 @@ class CsvSink(DataStream):
     fn = Field("filename", req=True, help="output csv")
 
     def start(self) -> None:
-        self._f = open(self.fn, "w")
+        self._f = open(_out_path(self.fn), "w")
 
     def proc(self, blk):
         if blk.nda is not None:
@@ -606,7 +862,7 @@ class PcapSink(DataStream):
     udp_dest_port = Field(int, default="2368", help="udp dest port to stamp")
 
     def start(self) -> None:
-        self._f = open(self.fn, "wb")
+        self._f = open(_out_path(self.fn), "wb")
         self._f.write(struct.pack("<IHHiIII", _PCAP_MAGIC, 2, 4, 0, 0,
                                   65535, 1))
         self._n = 0
@@ -698,7 +954,7 @@ class MxnetBrickSink(DataStream):
                      help="if nonzero, split records into chunks of this size")
 
     def start(self) -> None:
-        self._f = open(self.fn, "wb")
+        self._f = open(_out_path(self.fn), "wb")
 
     def _emit(self, cflag: int, data: bytes) -> None:
         assert len(data) < _MXNET_MAX_REC

@@ -448,3 +448,104 @@ def test_zmq_detection_service(tmp_path):
         c.close()
     finally:
         assert server.wait(timeout=60) == 0
+
+
+# -- combinators (ref data-stream.cc:409-976) --------------------------------------
+
+
+def test_merge_and_seq():
+    src = _mk("(stream=merge,streams=(a=(stream=gen-src,n=2),b=(stream=gen-src,n=4)))")
+    blocks = _drain(src)
+    # keeps producing until ALL streams exhausted (ref merge semantics)
+    assert len(blocks) == 4
+    assert set(blocks[0].subs) == {"a", "b"}
+    assert set(blocks[3].subs) == {"b"}
+    src = _mk("(stream=seq,streams=(s0=(stream=gen-src,n=2),s1=(stream=gen-src,n=3)))")
+    assert len(_drain(src)) == 5
+
+
+def test_sync_streaming_and_skip():
+    # primary every 100, secondary every 30 -> nearest block attached streaming-ly
+    src = _mk("(stream=sync,primary=(stream=gen-src,n=4,ts_step=100),"
+              "secondary=(s=(stream=gen-src,n=20,ts_step=30)))")
+    blocks = _drain(src)
+    assert len(blocks) == 4
+    # nearest multiples of 30 to 0,100,200,300 are 0,90,210,300
+    assert [b.subs["s"].ts for b in blocks] == [0, 90, 210, 300]
+    # max_dt skips primaries with no close-enough secondary
+    src = _mk("(stream=sync,primary=(stream=gen-src,n=4,ts_step=100),"
+              "secondary=(s=(stream=gen-src,n=2,ts_step=30)),max_dt=10)")
+    blocks = _drain(src)
+    assert [b.ts for b in blocks] == [0]  # ts=100.. have nearest 30 -> dt 70 > 10
+
+
+def test_sync_empty_secondary_errors():
+    from boda_tpu.config import ConfigError
+    with pytest.raises(ConfigError, match="no blocks at all in secondary stream"):
+        _mk("(stream=sync,primary=(stream=gen-src,n=2),"
+            "secondary=(s=(stream=gen-src,n=0)))")
+
+
+def test_fold_and_flatten():
+    base = ("(stream=merge,streams=(a=(stream=gen-src,n=2),"
+            "b=(stream=gen-src,n=2)))")
+    src = _mk(f"(stream=fold,src={base},fold_src=a,fold_targ=b)")
+    blocks = _drain(src)
+    assert set(blocks[0].subs) == {"b"}
+    assert set(blocks[0].subs["b"].subs) == {"a"}
+    # fold with no targ drops the sub
+    src = _mk(f"(stream=fold,src={base},fold_src=a)")
+    assert set(_drain(src)[0].subs) == {"b"}
+    # flatten: subs-of-subs become dot-named subs
+    nested = ("(stream=merge,streams=(x=(stream=ts-merge,"
+              "primary=(stream=gen-src,n=2),secondary=(p=(stream=gen-src,n=2)))))")
+    src = _mk(f"(stream=flatten,src={nested})")
+    blocks = _drain(src)
+    assert "x.p" in blocks[0].subs
+
+
+def test_fold_errors():
+    from boda_tpu.config import ConfigError
+    src = _mk("(stream=fold,src=(stream=gen-src,n=1),fold_src=a)")
+    with pytest.raises(ConfigError, match="no subblocks"):
+        src.read()
+    base = "(stream=merge,streams=(a=(stream=gen-src,n=1)))"
+    src = _mk(f"(stream=fold,src={base},fold_src=zz)")
+    with pytest.raises(ConfigError, match="no sub-block named 'zz'"):
+        src.read()
+
+
+def test_sort_by_ts_and_pass():
+    # stamp makes descending timestamps; sort-by-ts restores ascending order
+    src = _mk("(stream=sort-by-ts,src=(stream=stamp,src=(stream=gen-src,n=5),"
+              "ts0=100,step=-10))")
+    blocks = _drain(src)
+    assert [b.ts for b in blocks] == [60, 70, 80, 90, 100]
+    # bounded buffer: flushes every max_buf blocks (two sorted runs, not global)
+    src = _mk("(stream=sort-by-ts,src=(stream=stamp,src=(stream=gen-src,n=4),"
+              "ts0=100,step=-10),max_buf=2)")
+    assert [b.ts for b in _drain(src)] == [90, 100, 70, 80]
+    src = _mk("(stream=pass,src=(stream=gen-src,n=3))")
+    assert len(_drain(src)) == 3
+
+
+def test_adj_angle_normalizes():
+    blk = DataBlock(ts=0, nda=NDA.from_array(
+        np.array([0.0, 190.0, -190.0, 360.0, 540.0], dtype=np.float32)))
+
+    class OneShot:
+        def __init__(self, b):
+            self._b = b
+
+        def start(self):
+            pass
+
+        def read(self):
+            b, self._b = self._b, None
+            return b
+
+    adj = make("data_stream", "adj-angle", src="(stream=pass,src=(stream=gen-src,n=0))")
+    adj.src = OneShot(blk)
+    adj.start()
+    out = adj.read()
+    assert np.allclose(out.nda.data, [0.0, -170.0, 170.0, 0.0, -180.0])
