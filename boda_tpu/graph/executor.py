@@ -344,13 +344,20 @@ class FwdEngine:
         """Steady-state secs per whole-net forward (difference method — see
         rtc/backends.time_diff_method: cancels fixed dispatch/sync latency).
 
-        chain > 1 runs `chain` data-dependent forwards inside ONE compiled
-        program (lax.scan with a carried ~0 perturbation that defeats CSE):
-        over a high-latency dispatch path (the remote-TPU tunnel's ~26ms RTT
-        dwarfs a ~5ms forward) per-dispatch timing measures dispatch jitter,
-        not device time — chaining makes each dispatch device-bound. The
-        batched analog of the reference's single-stream launch replay
-        (rtc_fwd.cc:547)."""
+        chain > 1 runs the repeat loop ON DEVICE: `n_iters` (and `2*n_iters`)
+        data-dependent forwards inside ONE compiled program (lax.scan with a
+        carried ~0 perturbation that defeats CSE), each timed as a single
+        dispatch. Over a high-latency dispatch path (the remote-TPU tunnel's
+        ~26ms RTT dwarfs a ~2ms forward) host-side repeat loops measure
+        dispatch batching and jitter, not device time — readings above the
+        hardware roofline were observed that way. With the loop on device the
+        iteration count is exact; the N vs 2N scan-length slope cancels the
+        per-dispatch RTT; and min-aggregation over reps is sound because RTT
+        noise is additive-positive. The batched analog of the reference's
+        single-stream launch replay (rtc_fwd.cc:547) + its double-run warm
+        timing (enable_double_run, rtc_fwd.cc:51)."""
+        import time as _time
+
         import jax
 
         from ..rtc.backends import time_diff_method
@@ -365,7 +372,7 @@ class FwdEngine:
         from jax import lax
         raw = self.build_raw_fn(out_names)
 
-        def chained(weights, xins):
+        def chained(weights, xins, length):
             def step(carry, _):
                 pins = {}
                 for k, v in xins.items():
@@ -376,13 +383,32 @@ class FwdEngine:
                 outs = raw(weights, pins)
                 leaf = jax.tree_util.tree_leaves(outs)[0]
                 return leaf.ravel()[0].astype(jnp.float32) * 1e-30, None
-            return lax.scan(step, jnp.float32(0.0), None, length=chain)[0]
+            return lax.scan(step, jnp.float32(0.0), None, length=length)[0]
 
-        cfn = jax.jit(chained)
-        secs = time_diff_method(lambda: cfn(self._weights_dev, dev_ins),
-                                lambda outs: _block_tree(outs),
-                                max(1, n_iters // chain), warmup)
-        return secs / chain
+        n = max(4, n_iters)
+        cache = getattr(self, "_chain_fns", None)
+        if cache is None:
+            cache = self._chain_fns = {}
+        fns = {}
+        for length in (n, 2 * n):
+            key = (tuple(sorted(ins)), tuple(out_names), length)
+            if key not in cache:
+                cache[key] = jax.jit(
+                    lambda w, x, length=length: chained(w, x, length))
+            fns[length] = cache[key]
+
+        def run(length):
+            t0 = _time.perf_counter()
+            fns[length](self._weights_dev, dev_ins).block_until_ready()
+            return _time.perf_counter() - t0
+
+        for length in fns:  # compile + warm
+            for _ in range(max(1, warmup - 1)):
+                run(length)
+        reps = 3
+        t_n = min(run(n) for _ in range(reps))
+        t_2n = min(run(2 * n) for _ in range(reps))
+        return max((t_2n - t_n) / n, 1e-12)
 
 
 def _block_tree(tree) -> None:

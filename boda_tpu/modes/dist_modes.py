@@ -1,0 +1,170 @@
+"""Two-controller (multi-process) distributed execution test modes.
+
+Parity target: the reference's cross-process compute tests
+``cs_test_master``/``cs_test_worker`` (ref src/rtc_ipc.cc:290,:313 — master
+fork-and-execs the worker and drives a full compute backend across the byte
+stream). The TPU-native DCN analog is *multi-controller JAX*:
+``jax.distributed.initialize`` forms one cluster out of N controller
+processes, cross-process collectives ride Gloo (CPU) or DCN (real pods), and
+the SAME sharded SPMD training step that runs single-controller (pjit over a
+Mesh) runs unchanged with the mesh spanning processes.
+
+``dist_test_master`` spawns ``num_procs`` ``dist_test_worker`` processes
+(fork_and_exec_self analog), each a full JAX controller with
+``devices_per_proc`` virtual CPU devices; the workers jointly run the real
+dp-sharded training step (parallel/train.make_train_step) and the master
+verifies every rank computed the SAME decreasing global loss (SPMD
+determinism across controllers).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+from ..config import Field, Mode, register
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@register("mode", "dist_test_worker",
+          help="one controller process of a multi-controller distributed run")
+class DistTestWorker(Mode):
+    coord = Field(str, req=True, help="coordinator address host:port")
+    num_procs = Field(int, default="2", help="total controller processes")
+    process_id = Field(int, req=True, help="this process's rank")
+    steps = Field(int, default="3", help="training steps to run")
+    seed = Field(int, default="0", help="data/init seed (same on all ranks)")
+
+    def main(self) -> None:
+        import jax
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..models.zoo import build_mini_resnet
+        from ..parallel.mesh import make_mesh, named_sharding, weight_shardings
+        from ..parallel.train import find_logits_node, make_train_step
+
+        jax.distributed.initialize(coordinator_address=self.coord,
+                                   num_processes=self.num_procs,
+                                   process_id=self.process_id)
+        try:
+            devs = jax.devices()
+            n_dev = len(devs)
+            mesh = make_mesh({"dp": n_dev})
+            img = 2 * n_dev  # global batch; 2 per device
+            num_cls = 16
+            pipe, in_dims = build_mini_resnet(img=img, num_cls=num_cls, in_sz=16)
+            step = make_train_step(pipe, find_logits_node(pipe), lr=0.05,
+                                   momentum=0.9, bn_momentum=0.1)
+
+            # identical global data on every rank (same seed), then each rank
+            # contributes only its process-local shard of the dp-sharded batch
+            rng = np.random.RandomState(self.seed)
+            d = in_dims["data"]
+            x_all = rng.randn(*d.shape).astype(np.float32)
+            y_all = rng.randint(0, num_cls, size=(img,)).astype(np.int32)
+            x_shard = NamedSharding(mesh, PartitionSpec("dp"))
+            per = img // self.num_procs
+            lo = per * self.process_id
+            x = jax.make_array_from_process_local_data(
+                x_shard, x_all[lo:lo + per])
+            y = jax.make_array_from_process_local_data(
+                x_shard, y_all[lo:lo + per])
+
+            w_shard = weight_shardings(pipe, mesh)
+            weights = {k: jax.device_put(w.data, w_shard[k])
+                       for k, w in pipe.weights.items()}
+            frozen = ("__means", "__vars", "__sf")
+            mom = {k: jax.device_put(
+                       np.zeros(pipe.weights[k].dims.shape, np.float32),
+                       w_shard[k])
+                   for k in pipe.weights if not k.endswith(frozen)}
+            mom_shard = {k: w_shard[k] for k in mom}
+            jstep = jax.jit(step,
+                            in_shardings=(w_shard, {"data": x_shard}, x_shard,
+                                          mom_shard),
+                            out_shardings=(named_sharding(mesh), w_shard,
+                                           mom_shard))
+            losses = []
+            with mesh:
+                for _ in range(self.steps):
+                    loss, weights, mom = jstep(weights, {"data": x}, y, mom)
+                    losses.append(float(loss))
+            print(f"dist_test_worker rank={self.process_id} ndev={n_dev} "
+                  "losses=" + ",".join(f"{v:.6f}" for v in losses))
+        finally:
+            jax.distributed.shutdown()
+
+
+@register("mode", "dist_test_master",
+          help="spawn + verify a multi-controller (2-process) distributed run")
+class DistTestMaster(Mode):
+    num_procs = Field(int, default="2", help="controller processes to spawn")
+    devices_per_proc = Field(int, default="2", help="virtual CPU devices each")
+    steps = Field(int, default="3", help="training steps")
+    port = Field(int, default="0", help="coordinator port (0 = pick free)")
+
+    def main(self) -> None:
+        port = self.port or _free_port()
+        coord = f"localhost:{port}"
+        env = dict(os.environ)
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if not f.startswith("--xla_force_host_platform_device_count")]
+        flags.append("--xla_force_host_platform_device_count="
+                     f"{self.devices_per_proc}")
+        env["XLA_FLAGS"] = " ".join(flags)
+        env["JAX_PLATFORMS"] = "cpu"  # cli re-applies this over the sitecustomize
+        procs = []
+        for rank in range(self.num_procs):
+            cmd = [sys.executable, "-m", "boda_tpu", "dist_test_worker",
+                   f"--coord={coord}", f"--num-procs={self.num_procs}",
+                   f"--process-id={rank}", f"--steps={self.steps}"]
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))))))
+        outs = []
+        fail = False
+        for rank, p in enumerate(procs):
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+            if p.returncode != 0:
+                fail = True
+                print(f"rank {rank} FAILED rc={p.returncode}:\n{out[-2000:]}")
+        if fail:
+            raise RuntimeError("dist_test_master: worker process failed")
+        # every rank must report the SAME decreasing global loss sequence
+        seqs = []
+        for rank, out in enumerate(outs):
+            m = re.search(rf"dist_test_worker rank={rank} ndev=(\d+) "
+                          r"losses=([\d.,-]+)", out)
+            if not m:
+                raise RuntimeError(
+                    f"dist_test_master: rank {rank} printed no result:\n"
+                    f"{out[-2000:]}")
+            n_dev = int(m.group(1))
+            seqs.append([float(v) for v in m.group(2).split(",")])
+        want_dev = self.num_procs * self.devices_per_proc
+        if n_dev != want_dev:
+            raise RuntimeError(f"cluster saw {n_dev} devices, want {want_dev}")
+        for rank in range(1, self.num_procs):
+            if seqs[rank] != seqs[0]:
+                raise RuntimeError(
+                    f"rank {rank} loss sequence {seqs[rank]} != rank 0 "
+                    f"{seqs[0]} (SPMD determinism broken)")
+        if not seqs[0][-1] < seqs[0][0]:
+            raise RuntimeError(f"loss did not decrease: {seqs[0]}")
+        print(f"dist_test_master: {self.num_procs} controllers x "
+              f"{self.devices_per_proc} devices, loss "
+              f"{seqs[0][0]:.4f} -> {seqs[0][-1]:.4f}, all ranks agree OK")

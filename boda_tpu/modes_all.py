@@ -9,6 +9,7 @@ _MODE_MODULES = [
     "boda_tpu.modes.cnet",
     "boda_tpu.modes.cnn_prof",
     "boda_tpu.modes.detect",
+    "boda_tpu.modes.dist_modes",
     "boda_tpu.modes.display_modes",
     "boda_tpu.modes.ipc_modes",
     "boda_tpu.modes.lmdb_modes",
