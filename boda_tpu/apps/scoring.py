@@ -8,6 +8,7 @@ methods), per-class and mean AP.
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from collections import defaultdict
 from dataclasses import dataclass
@@ -71,7 +72,9 @@ def load_dets_file(fn: str) -> dict[str, list[Det]]:
                 continue
             parts = line.split()
             if len(parts) != 7:
-                raise ValueError(f"{fn}:{ln}: want 7 fields, got {len(parts)}")
+                raise ValueError(
+                    f"{os.path.basename(fn)}:{ln}: want 7 fields, "
+                    f"got {len(parts)}")
             img_id, cls, score, x0, y0, x1, y1 = parts
             out[cls].append(Det(img_id, float(score),
                                 Box(float(x0), float(y0), float(x1), float(y1))))
@@ -88,7 +91,9 @@ def load_gt_file(fn: str) -> dict[str, dict[str, list[GtBox]]]:
                 continue
             parts = line.split()
             if len(parts) not in (6, 7):
-                raise ValueError(f"{fn}:{ln}: want 6-7 fields, got {len(parts)}")
+                raise ValueError(
+                    f"{os.path.basename(fn)}:{ln}: want 6-7 fields, "
+                    f"got {len(parts)}")
             img_id, cls = parts[0], parts[1]
             box = Box(*(float(v) for v in parts[2:6]))
             diff = len(parts) == 7 and parts[6] == "1"

@@ -134,6 +134,11 @@ _V1_TYPES = {
 
 def read_caffemodel(fn: str) -> dict[str, list[Blob]]:
     """Read a .caffemodel: layer name -> list of weight blobs."""
+    import os
+    if not os.path.exists(fn):  # clean error, not a traceback (ref ifs_open)
+        raise ValueError(
+            f"can't open caffemodel file {os.path.basename(fn)!r}: "
+            f"no such file")
     with open(fn, "rb") as f:
         buf = memoryview(f.read())
     net = parse_wire(buf)

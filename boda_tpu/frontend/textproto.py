@@ -135,8 +135,14 @@ def parse_textproto(s: str, fn: str = "<string>") -> dict:
 
 
 def parse_textproto_file(fn: str) -> dict:
+    import os
+    if not os.path.exists(fn):  # clean error, not a traceback (ref ifs_open)
+        raise ValueError(
+            f"can't open prototxt file {os.path.basename(fn)!r}: no such file")
     with open(fn) as f:
-        return parse_textproto(f.read(), fn)
+        # basename in diagnostics: error text stays machine-independent (the
+        # golden harness pins exact error strings)
+        return parse_textproto(f.read(), os.path.basename(fn))
 
 
 # -- convenience accessors -------------------------------------------------------

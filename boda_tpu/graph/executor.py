@@ -175,7 +175,19 @@ class FwdEngine:
                     for k, v in inputs.items()}
             vals.update(weights)
             stat_out = {}
-            for op_name in topo:
+            # prune to the subgraph reaching out_names from the provided
+            # inputs: ops whose tops are all available (given) or not needed
+            # are skipped, so mid-graph nodes (e.g. pool1) work as inputs
+            # (ref conv_pipe run-from-node subsets, conv_util.cc:660+).
+            needed = set(out_names)
+            run_ops = []
+            for op_name in reversed(topo):
+                op = pipe.ops[op_name]
+                if any(t in needed and t not in vals for t in op.tops):
+                    run_ops.append(op_name)
+                    needed.update(b for b in op.bots if b not in vals)
+            run_ops.reverse()
+            for op_name in run_ops:
                 op = pipe.ops[op_name]
                 try:
                     bot_vals = [vals[b] for b in op.bots]
@@ -965,10 +977,26 @@ class PallasFwd(FwdEngine):
                 if cdt is not None and jnp.issubdtype(v.dtype, jnp.floating):
                     v = v.astype(cdt)
                 vals[k] = v.transpose(0, 2, 3, 1) if is4d.get(k) else v
-            for op_name in topo:
-                op = pipe.ops[op_name]
+            # prune to the subgraph reaching out_names from the provided
+            # inputs (mid-graph inputs like pool1 supported; chain tops count
+            # as the chain's only produced value)
+            needed = set(out_names)
+            run_ops = set()
+            for op_name in reversed(topo):
                 if op_name in skip_ops:
-                    continue  # folded into its producer chain
+                    continue
+                op = pipe.ops[op_name]
+                tops = ([chain_final_top[op_name]] if op_name in fused_now
+                        else list(op.tops))
+                if any(t in needed and t not in vals for t in tops):
+                    run_ops.add(op_name)
+                    needed.update(op.bots)
+                    if op_name in fused_now:
+                        needed.update(chain_args[op_name])
+            for op_name in topo:
+                if op_name not in run_ops:
+                    continue
+                op = pipe.ops[op_name]
                 try:
                     bot_vals = [vals[b] for b in op.bots]
                     if op_name in fused_now:

@@ -411,14 +411,42 @@ class LoadPil(Mode):
 
     def main(self) -> None:
         from ..apps.scoring import load_pascal_annotation
+        # typed PASCAL image-list: '<id>' or '<id> <1|-1|0>' per line, each id
+        # at most once (ref results_io.cc read_pascal_image_list_file: parts
+        # != 2 / bad type string / duplicate-annotation-load errors)
+        base = os.path.basename(self.img_list_fn)
+        ids: list[str] = []
+        seen: set[str] = set()
         with open(self.img_list_fn) as f:
-            ids = [ln.split()[0] for ln in f if ln.strip()]
+            for lno, ln in enumerate(f, 1):
+                parts = ln.split()
+                if not parts:
+                    continue
+                if len(parts) > 2:
+                    raise ConfigError(
+                        f"invalid line {lno} in image list file {base!r}: "
+                        f"want 'id' or 'id <type>', got {len(parts)} fields "
+                        f"in {ln.strip()!r}")
+                if len(parts) == 2 and parts[1] not in ("1", "-1", "0"):
+                    raise ConfigError(
+                        f"invalid type string in image list file {base!r} "
+                        f"line {lno}: saw {parts[1]!r}, expected '1', '-1', "
+                        f"or '0'")
+                if parts[0] in seen:
+                    raise ConfigError(
+                        f"duplicate image id {parts[0]!r} in image list file "
+                        f"{base!r} line {lno}: annotations would load "
+                        f"multiple times")
+                seen.add(parts[0])
+                ids.append(parts[0])
         n_obj = 0
         by_cls: dict[str, int] = {}
         for iid in ids:
             fn = os.path.join(self.ann_dir, f"{iid}.xml")
             if not os.path.exists(fn):
-                raise ConfigError(f"missing annotation {fn!r}")
+                raise ConfigError(
+                    f"missing annotation {os.path.basename(fn)!r} for image "
+                    f"id {iid!r} in annotation dir")
             ann = load_pascal_annotation(fn)
             for cls, boxes in ann.items():
                 by_cls[cls] = by_cls.get(cls, 0) + len(boxes)
