@@ -105,8 +105,12 @@ class FwdEngine:
         self._upload_weights()
 
     def lower_ctx(self) -> LowerCtx:
+        amax = None
+        if getattr(self, "calib_fn", ""):
+            from ..prof.calib import read_calib
+            amax = read_calib(self.calib_fn)
         return LowerCtx(precision=self.precision, train=self.train,
-                        det_drop_seed=self.det_drop_seed)
+                        det_drop_seed=self.det_drop_seed, act_amax=amax)
 
     def lower_one(self, pipe: ConvPipe, op, ctx: LowerCtx) -> Callable:
         return lower_op(pipe, op, ctx)
@@ -295,8 +299,8 @@ class FwdEngine:
                 outs)
         stats = outs.pop("__stats__", None) if isinstance(outs, dict) else None
         if stats is not None:
-            for n, s in stats.items():
-                s = np.asarray(s)
+            self._last_stats = {n: np.asarray(s) for n, s in stats.items()}
+            for n, s in self._last_stats.items():
                 cnt = self.pipe.must_dims(n).num_elems()
                 self._info_log.append(
                     f"var_stats {n}: min={s[0]:.6g} max={s[1]:.6g} "
@@ -454,6 +458,10 @@ class PallasFwd(FwdEngine):
     # See OpTune.int8 — this sets the engine-wide default; per-op tunes can
     # override (e.g. keep a sensitive layer in bf16 via per_op_tune).
     int8 = Field(bool, default="0", help="int8 MXU conv/fc compute")
+    # static int8 calibration sidecar (net_calib mode): per-node act amax.
+    # When set, int8 conv/fc use the persisted per-tensor scales instead of
+    # computing a runtime amax reduce every forward (prof/calib.py).
+    calib_fn = Field("filename", default="", help="activation-amax calibration file")
     # default conv/fc variant family. Measured on v5e (r50 bf16 b32, chained
     # difference timing): the XLA conv lowering inside our fused NHWC program
     # reaches 127 TF/s (64% MXU peak) vs 53 TF/s for the generated Pallas
@@ -970,8 +978,17 @@ class PallasFwd(FwdEngine):
         is4d = {n: self._is_4d(n) for n in pipe.nodes}
 
         cdt = _jnp_dt(self.compute_tn) if self.compute_tn else None
+        stats = self.per_layer_stats
 
         def net_fn(weights: dict, inputs: dict):
+            stat_out = {}
+
+            def _stat(n, v):
+                if stats and jnp.issubdtype(v.dtype, jnp.floating):
+                    v32 = v.astype(jnp.float32)
+                    stat_out[n] = jnp.stack(
+                        [jnp.min(v32), jnp.max(v32), jnp.sum(v32),
+                         jnp.sum(v32 * v32)])
             vals = dict(weights)
             for k, v in inputs.items():
                 if cdt is not None and jnp.issubdtype(v.dtype, jnp.floating):
@@ -1006,8 +1023,11 @@ class PallasFwd(FwdEngine):
                 outs = lowered[op_name](*bot_vals)
                 if op_name in fused_now:
                     vals[chain_final_top[op_name]] = outs[0]
+                    _stat(chain_final_top[op_name], outs[0])
                 else:
                     vals.update(zip(op.tops, outs))
+                    for t, v in zip(op.tops, outs):
+                        _stat(t, v)
             res = {}
             for n in out_names:
                 v = vals[n]
@@ -1022,6 +1042,8 @@ class PallasFwd(FwdEngine):
                 if cdt is not None:
                     v = v.astype(_jnp_dt(pipe.must_dims(n).tn))
                 res[n] = v
+            if stats:
+                res["__stats__"] = stat_out
             return res
 
         return net_fn

@@ -39,6 +39,9 @@ class LowerCtx:
     compute_tn: str = ""           # '' = keep input dtype; else cast for compute
     det_drop_seed: int = 0         # deterministic dropout seed (0 = inference)
     train: bool = False            # training mode (dropout active)
+    # static int8 calibration: node name -> activation amax (prof/calib.py).
+    # None = dynamic quantization (runtime per-tensor amax reduce per fwd).
+    act_amax: object = None
 
     @property
     def prec(self):

@@ -83,7 +83,11 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
         # calibration state); weights get per-out-channel scales. int32
         # accumulation via preferred_element_type, dequant+bias(+residual)
         # (+ReLU) epilogue fuses into the conv's consumer ops.
-        info_log.append(f"{op.name}: nhwc-int8_conv s={s}")
+        # static calibration (prof/calib.py): persisted act amax kills the
+        # runtime per-tensor amax reduce; out-of-range acts saturate at +-127
+        amax = (getattr(ctx, "act_amax", None) or {}).get(op.bots[0])
+        info_log.append(f"{op.name}: nhwc-int8_conv s={s}"
+                        + (f" static_amax={amax:.4g}" if amax else ""))
 
         def fn(x, w, b, residual=None):
             wf = w.astype(jnp.float32)
@@ -91,8 +95,12 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
                              1e-12) / 127.0
             wq = jnp.round(wf / ws).astype(jnp.int8)
             xf = x.astype(jnp.float32)
-            xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
-            xq = jnp.round(xf / xs).astype(jnp.int8)
+            if amax:
+                xs = jnp.float32(max(amax, 1e-12) / 127.0)
+                xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            else:
+                xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+                xq = jnp.round(xf / xs).astype(jnp.int8)
             if k == (1, 1) and p == (0, 0):
                 # 1x1: int8 matmul (the MXU's native int8 path; the int8
                 # conv emitter is measurably slower than the dot emitter)
@@ -137,6 +145,66 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
             return (out.reshape(n, y, xx, -1),)
         fn.supports_residual = True
         return fn, preps
+
+    # stem conv (large kernel, stride>1, starved in_chan — resnet/googlenet
+    # 7x7s2 C=3, alexnet 11x11s4 C=3): space-to-depth fold in pure XLA ops.
+    # The MXU contracts over k*k*C; at C=3 that wastes almost the whole
+    # 128-deep systolic dimension. Folding stride-s blocks into channels
+    # yields an equivalent stride-1 conv with (ceil(k/s))^2 taps over C*s*s
+    # channels — measured 1.35x on the standalone stem (scripts/exp_r2_perf
+    # exp3) with identical math (kernel zero-padding adds ~(s*ceil(k/s)/k)^2
+    # FLOPs but lifts MXU utilization far more). Applies under any kernel
+    # policy (the fold and conv are XLA; nothing here needs Pallas). Off by
+    # default — whole-net A/B shows the win is context-dependent (+4.3%
+    # resnet50, -12% googlenet with the IDENTICAL stem shape); selected
+    # per-op by net_tune wisdom.
+    stem_on = tune.stem_s2d == 1
+    sb, kk = s[0], k[0]
+    m = -(-kk // sb)                        # taps per axis after the fold
+    # right-pad so the folded input covers every tap window; negative means
+    # floor division already discards input tail rows — rare (k%s!=0 with
+    # tiny pad); fall through to the plain paths rather than slice.
+    pad_r_y = sb * (od["y"] + m - 1) - ind["y"] - p[0]
+    pad_r_x = sb * (od["x"] + m - 1) - ind["x"] - p[1]
+    if (stem_on and groups == 1 and dil == (1, 1) and s[0] == s[1] > 1
+            and k[0] == k[1] > 1 and ind["chan"] * s[0] * s[1] <= 64
+            and pad_r_y >= 0 and pad_r_x >= 0):
+        oy, ox = od["y"], od["x"]
+        h, wd, cin = ind["y"], ind["x"], ind["chan"]
+        xs_h, xs_w = oy + m - 1, ox + m - 1
+        info_log.append(f"{op.name}: nhwc-stem_s2d s={sb} k={kk} m={m}")
+        prec = PRECISIONS[tune.precision]
+        from .lowering import conv_f32acc
+        conv = conv_f32acc(("NHWC", "HWIO", "NHWC"), (1, 1),
+                           ((0, 0), (0, 0)), 1, (1, 1), prec)
+
+        def prep_w(w):  # OIHW -> folded (m, m, sb*sb*C, O)
+            wh = w.transpose(2, 3, 1, 0)                      # HWIO
+            wh = jnp.pad(wh, ((0, m * sb - kk), (0, m * sb - kk),
+                              (0, 0), (0, 0)))
+            wh = wh.reshape(m, sb, m, sb, cin, -1)
+            return wh.transpose(0, 2, 1, 3, 4, 5).reshape(m, m,
+                                                          sb * sb * cin, -1)
+
+        def inv_w(g):   # folded grad -> OIHW
+            g = g.reshape(m, m, sb, sb, cin, -1)
+            g = g.transpose(0, 2, 1, 3, 4, 5).reshape(m * sb, m * sb, cin, -1)
+            return g[:kk, :kk].transpose(3, 2, 0, 1)
+
+        def fn(x, w, b, residual=None):
+            xp = jnp.pad(x, ((0, 0), (p[0], pad_r_y), (p[1], pad_r_x),
+                             (0, 0)))
+            xsd = xp.reshape(x.shape[0], xs_h, sb, xs_w, sb, cin)
+            xsd = xsd.transpose(0, 1, 3, 2, 4, 5).reshape(
+                x.shape[0], xs_h, xs_w, sb * sb * cin)
+            out = conv(xsd, w) + b.reshape(1, 1, 1, -1)
+            if residual is not None:
+                out = out + residual.astype(out.dtype)
+            if relu:
+                out = jnp.maximum(out, 0.0)
+            return (out.astype(x.dtype),)
+        fn.supports_residual = True
+        return fn, {op.bots[1]: (prep_w, inv_w)}
 
     halo_on = tune.use_halo == 1 or (tune.use_halo == -1 and not ctx_interp())
     if groups == 1 and not tune.use_xla and halo_on:
@@ -249,8 +317,11 @@ def _nhwc_ip(pipe, op, ctx, tune, info_log):
         preps[op.bots[1]] = (prep, inv)
     M, K, N = ind["img"], fd["in_feats"], fd["out_chan"]
     bm, bn, bk = pick_matmul_blocks(M, K, N, tune, ind.tn)
+    amax = (getattr(ctx, "act_amax", None) or {}).get(op.bots[0]) \
+        if tune.int8 else None
     info_log.append(f"{op.name}: nhwc-ip{' int8' if tune.int8 else ''} "
-                    f"bm={bm} bn={bn} bk={bk}")
+                    f"bm={bm} bn={bn} bk={bk}"
+                    + (f" static_amax={amax:.4g}" if amax else ""))
     prec = PRECISIONS[tune.precision]
     use_xla = tune.use_xla
 
@@ -258,13 +329,18 @@ def _nhwc_ip(pipe, op, ctx, tune, info_log):
 
     def fn(x, w, b):
         xf = x.reshape(x.shape[0], -1)
-        if int8:  # dynamic symmetric int8 (see _nhwc_conv)
+        if int8:  # symmetric int8; static calib scale when available
             wf = w.astype(jnp.float32)
             ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-12) / 127.0
             wq = jnp.round(wf / ws[:, None]).astype(jnp.int8)
-            xs = jnp.maximum(jnp.max(jnp.abs(xf.astype(jnp.float32))),
-                             1e-12) / 127.0
-            xq = jnp.round(xf.astype(jnp.float32) / xs).astype(jnp.int8)
+            if amax:
+                xs = jnp.float32(max(amax, 1e-12) / 127.0)
+                xq = jnp.clip(jnp.round(xf.astype(jnp.float32) / xs),
+                              -127, 127).astype(jnp.int8)
+            else:
+                xs = jnp.maximum(jnp.max(jnp.abs(xf.astype(jnp.float32))),
+                                 1e-12) / 127.0
+                xq = jnp.round(xf.astype(jnp.float32) / xs).astype(jnp.int8)
             out = jnp.dot(xq, wq.T, preferred_element_type=jnp.int32)
             out = out.astype(jnp.float32) * (ws * xs)[None, :] \
                 + b.astype(jnp.float32)

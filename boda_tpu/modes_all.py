@@ -6,6 +6,7 @@
 _MODE_MODULES = [
     "boda_tpu.modes.apps",
     "boda_tpu.modes.basic",
+    "boda_tpu.modes.calib",
     "boda_tpu.modes.cnet",
     "boda_tpu.modes.cnn_prof",
     "boda_tpu.modes.detect",

@@ -33,6 +33,19 @@ class OpTune:
     # in context. The variant policy only allows it for k>1 (1x1 stride-2 is
     # a pure subsample — XLA wins there standalone too).
     use_s2d: bool = False
+    # stem conv (large kernel, stride>1, tiny in_chan — e.g. 7x7s2 C=3) via an
+    # XLA-native space-to-depth fold: the kernel is zero-padded to a multiple
+    # of the stride and folded to a stride-1 conv on C*s*s channels, lifting
+    # the MXU contraction depth from k*k*C to (k_pad/s)^2*C*s*s at the cost of
+    # ~(k_pad/k)^2 padding FLOPs. Unlike use_s2d (Pallas kernel, all strided
+    # convs) this targets only the stem shape, where C=3 starves the MXU.
+    # In-program A/B on v5e (scripts/exp_stem_ab.py): +4.3% whole-net on
+    # resnet50, but -11/-12% on alexnet/googlenet — SAME stem shape as
+    # resnet on googlenet, opposite sign, so the win is context-dependent
+    # (consumer fusion structure), not shape-predictable. Default off;
+    # net_tune/wisdom turn it on per-op where the A/B harness validates it.
+    # 0 = off (default), 1 = force where legal.
+    stem_s2d: int = 0
     # v2 direct conv: element-window halo reads (no host-side gather), any
     # stride handled in-kernel. -1 = auto (on for compiled runs, off in
     # interpreter mode where emulated DMA is very slow); 1 = force on;

@@ -65,3 +65,36 @@ def test_int8_accuracy_gate_lmdb(tmp_path, capsys):
         outs[tag] = [ln for ln in capsys.readouterr().out.splitlines()
                      if "top1" in ln]
     assert outs["f32"] == outs["int8"] and outs["f32"]
+
+
+def test_static_calibration_roundtrip(tmp_path):
+    """net_calib -> calib_fn engine: static scales replace runtime amax;
+    prob output stays within the quantization tolerance of f32."""
+    calib_fn = str(tmp_path / "mini.calib.json")
+    main(["net_calib", "--model=mini_resnet", "--img=4", "--batches=3",
+          f"--out-fn={calib_fn}"])
+    from boda_tpu.prof.calib import read_calib
+    amax = read_calib(calib_fn)
+    assert "data" in amax and amax["data"] > 0
+    ref, _ = _run_engine("mini_resnet", 4)
+    q, eng = _run_engine("mini_resnet", 4, int8="1", calib_fn=calib_fn)
+    logs = [l for l in eng._info_log if "static_amax" in l]
+    assert logs, "static calibration scales not applied"
+    assert (ref.argmax(1) == q.argmax(1)).all()
+    # static scales are coarser than per-batch dynamic amax (calibrated on
+    # other batches, bf16 stats) — top-1 parity with a looser prob bound
+    assert float(np.abs(ref - q).max()) < 0.1
+
+
+def test_static_calibration_saturates_outliers(tmp_path):
+    """Acts beyond the calibrated range clip at +-127 instead of wrapping."""
+    import json
+    calib_fn = str(tmp_path / "tiny.calib.json")
+    main(["net_calib", "--model=mini_resnet", "--img=4", "--batches=2",
+          f"--out-fn={calib_fn}"])
+    rec = json.load(open(calib_fn))
+    rec["amax"] = {k: v * 0.25 for k, v in rec["amax"].items()}  # force clipping
+    json.dump(rec, open(calib_fn, "w"))
+    q, eng = _run_engine("mini_resnet", 4, int8="1", calib_fn=calib_fn)
+    assert np.isfinite(q).all()
+    assert float(q.max()) <= 1.0 + 1e-6  # still a valid prob head
