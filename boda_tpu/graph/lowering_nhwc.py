@@ -213,11 +213,13 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
         if hb is not None:
             info_log.append(f"{op.name}: nhwc-halo_conv {hb} s={s}")
 
+            tcat = tune.tap_cat
+
             def fn(x, w, b, residual=None):
                 return (pallas_conv2d_halo(x, w, b, stride=s, pad=p, relu=relu,
                                            hb=hb, precision=tune.precision,
                                            interpret=ctx_interp(),
-                                           residual=residual),)
+                                           residual=residual, tap_cat=tcat),)
             fn.supports_residual = True
             return fn, preps
 

@@ -33,6 +33,10 @@ class NetTune(Mode):
                                "ch8=(use_xla=0,chunk=8))",
                        help="tune candidates per signature group")
     max_groups = Field(int, default="0", help="limit swept groups (0=all, hottest first)")
+    # restrict the sweep to groups containing an op whose name contains this
+    # substring (e.g. --op-filter=conv1 to A/B just the stem rewrite without
+    # paying a dual-whole-net compile per group on the slow remote path)
+    op_filter = Field(str, default="", help="only sweep groups with ops matching substring")
     n_iters = Field(int, default="10", help="timing iterations per config")
     chain = Field(int, default="8", help="forwards chained per dispatch (see time_fwd)")
     wisdom_out_fn = Field(str, default="net-tuned.wis", help="output wisdom file")
@@ -69,6 +73,9 @@ class NetTune(Mode):
             groups.setdefault(k, []).append(op_name)
             flops[k] = flops.get(k, 0.0) + pipe.op_flops(op_name)
         order = sorted(groups, key=lambda k: -flops[k])
+        if self.op_filter:
+            order = [k for k in order
+                     if any(self.op_filter in n for n in groups[k])]
         if self.max_groups:
             order = order[: self.max_groups]
         d = in_dims["data"]
@@ -153,12 +160,27 @@ class NetTune(Mode):
             print(f"group {gi} ({flops[k] / 1e9:.2f}GF x{len(groups[k])} ops): "
                   f"{ {c: round(self.img / t, 1) for c, t in results.items()} } "
                   f"-> {winner}")
-        # final paired validation: median-of-3 tuned vs baseline
+        # final paired validation: tuned vs baseline. In A/B mode the
+        # validation itself is in-program (the cross-program median-of-3 can
+        # reject a real few-% win purely on tunnel jitter — the same failure
+        # the per-group A/B exists to avoid).
         tuned_sel = dict(chosen)
-        chosen.clear()
-        base3 = sorted(measure() for _ in range(3))[1]
-        chosen.update(tuned_sel)
-        best_t = sorted(measure() for _ in range(3))[1]
+        if self.ab and tuned_sel:
+            from ..prof.abtime import ab_compare, build_ab_prog
+            raw_b, w_b, ins = raw_with({})
+            raw_a, w_a, _ = raw_with(tuned_sel)
+            prog = build_ab_prog(lambda w, i: raw_a(w["a"], i),
+                                 lambda w, i: raw_b(w["b"], i),
+                                 ["prob"], n_legs=self.ab_legs)
+            best_t, base3 = ab_compare(prog, {"a": w_a, "b": w_b}, ins,
+                                       n_legs=self.ab_legs)
+            chosen.clear()
+            chosen.update(tuned_sel)
+        else:
+            chosen.clear()
+            base3 = sorted(measure() for _ in range(3))[1]
+            chosen.update(tuned_sel)
+            best_t = sorted(measure() for _ in range(3))[1]
         if best_t >= base3 * (1.0 - self.margin):
             print(f"net_tune: tuned config NOT reliably faster "
                   f"({self.img / best_t:.1f} vs baseline {self.img / base3:.1f}"

@@ -266,6 +266,9 @@ def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
             w_blk = kh * kw * c * boc * itemsize
             out_blk = boy * owp * boc * itemsize
             z_tmp = (boy * wp * boc + boy * owp * boc) * 4  # per-tap f32 temps
+            if tune.tap_cat and (sy, sx) == (1, 1):
+                # gathered (boy*owp, kh*kw*c) operand lives alongside
+                z_tmp += boy * owp * kh * kw * c * itemsize
             if 2 * x_blk + 2 * w_blk + 2 * out_blk + z_tmp <= _VMEM_BUDGET:
                 return HaloBlocks(boy=boy, boc=boc, jn=jn, xr=xr, xrp=xrp,
                                   r=r, wp=wp, owp=owp)
@@ -314,7 +317,8 @@ def _halo_dma_variants(x_hbm, xbuf, sem, tt, slot, *, r, boy, sy, py, xr, h,
 
 
 def _conv_halo_kernel(x_hbm, w_ref, b_ref, *rest, kh, kw, sy, sx, boy, owp,
-                      py, h, wp, r, n_t, bz, xrp, precision, relu, has_res):
+                      py, h, wp, r, n_t, bz, xrp, precision, relu, has_res,
+                      tap_cat=False):
     if has_res:
         res_ref, o_ref, xbuf, sem = rest
     else:
@@ -344,6 +348,34 @@ def _conv_halo_kernel(x_hbm, w_ref, b_ref, *rest, kh, kw, sy, sx, boy, owp,
 
     acc = jnp.zeros((boy, owp, boc), jnp.float32)
     base = i * boy * sy
+    if tap_cat:
+        # tap-concatenated deep-K form (stride-1 only, gated in blocks):
+        # gather all kh*kw shifted views into one (boy*owp, kh*kw*c) operand
+        # and run ONE matmul. kh*kw separate K=c dots each pay the MXU
+        # pipeline fill (~K cycles) and per-tap shift/add layout ops; a
+        # single K=kh*kw*c pass amortizes both (the TPU analog of the
+        # reference k1conv's "convert conv to one big GEMM" insight,
+        # cnn_codegen.cc:165 — here per-block in VMEM, not via im2col in HBM).
+        views = []
+        for ky in range(kh):
+            xk = xbuf[slot, ky:ky + boy]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (boy, wp, 1), 0) \
+                + base + ky
+            xk = jnp.where((rows >= py) & (rows < py + h), xk,
+                           jnp.zeros((), xk.dtype))
+            for kx in range(kw):
+                views.append(xk[:, kx:kx + owp, :])
+        xcat = jnp.concatenate(views, axis=2).reshape(boy * owp, kh * kw * c)
+        wcat = w_ref[:].reshape(kh * kw * c, boc)
+        acc = jnp.dot(xcat, wcat, preferred_element_type=jnp.float32,
+                      precision=precision).reshape(boy, owp, boc)
+        acc = acc + b_ref[0].astype(jnp.float32)
+        if has_res:
+            acc = acc + res_ref[0].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        o_ref[0] = acc.astype(o_ref.dtype)
+        return
     for ky in range(kh):
         if sy > 1:  # stride as reshape + static index (no strided slicing)
             xv4 = xbuf[slot].reshape(xrp // sy, sy, wp, c)
@@ -385,7 +417,7 @@ def _conv_halo_kernel(x_hbm, w_ref, b_ref, *rest, kh, kw, sy, sx, boy, owp,
 def pallas_conv2d_halo(x, wt, bias, *, stride=(1, 1), pad=(0, 0),
                        relu: bool = False, hb: HaloBlocks,
                        precision: str = "highest", interpret: bool = False,
-                       residual=None):
+                       residual=None, tap_cat: bool = False):
     """x (N,H,W,C) * wt (KH,KW,C,OC) + bias [+ residual (N,OH,OW,OC)] ->
     (N,OH,OW,OC). Direct conv with manual-DMA halo row streaming and fused
     bias(+residual)+ReLU store."""
@@ -430,7 +462,8 @@ def pallas_conv2d_halo(x, wt, bias, *, stride=(1, 1), pad=(0, 0),
             _conv_halo_kernel, kh=kh, kw=kw, sy=sy, sx=sx, boy=boy, owp=owp,
             py=py, h=h, wp=wp, r=r, n_t=n_t, bz=bz, xrp=xrp,
             precision=PRECISIONS[precision],
-            relu=relu, has_res=residual is not None),
+            relu=relu, has_res=residual is not None,
+            tap_cat=tap_cat and (sy, sx) == (1, 1)),
         grid=(n_t, jn),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, boy, owp, boc),

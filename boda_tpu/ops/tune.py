@@ -46,6 +46,11 @@ class OpTune:
     # net_tune/wisdom turn it on per-op where the A/B harness validates it.
     # 0 = off (default), 1 = force where legal.
     stem_s2d: int = 0
+    # halo-conv tap concatenation: gather all kh*kw shifted views into one
+    # (boy*owp, kh*kw*c) operand and run ONE deep-K matmul instead of kh*kw
+    # separate K=c dots (amortizes MXU pipeline fill + per-tap shift/adds).
+    # stride-1 only; costs kh*kw x VMEM for the gathered operand.
+    tap_cat: bool = False
     # v2 direct conv: element-window halo reads (no host-side gather), any
     # stride handled in-kernel. -1 = auto (on for compiled runs, off in
     # interpreter mode where emulated DMA is very slow); 1 = force on;

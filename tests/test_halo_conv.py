@@ -36,7 +36,7 @@ def _ref_conv(x, wt, b, s, p, relu, residual=None):
 
 
 def _run(n, h, w, c, k, oc, s=(1, 1), p=(1, 1), dt=jnp.float32, relu=True,
-         chunk=0, res=False):
+         chunk=0, res=False, tap_cat=False):
     x = jnp.asarray(rng.standard_normal((n, h, w, c)) * 0.5, dt)
     wt = jnp.asarray(rng.standard_normal((k, k, c, oc)) * (1 / (k * k * c) ** 0.5), dt)
     b = jnp.asarray(rng.standard_normal((oc,)) * 0.01, dt)
@@ -46,13 +46,14 @@ def _run(n, h, w, c, k, oc, s=(1, 1), p=(1, 1), dt=jnp.float32, relu=True,
     ind = Dims.of(img=n, chan=c, y=h, x=w, tn=tn)
     fd = Dims.of(out_chan=oc, in_chan=c, y=k, x=k)
     od = Dims.of(img=n, chan=oc, y=oh, x=ow)
-    hb = conv_halo_blocks(ind, fd, od, s, p, OpTune(chunk=chunk))
+    hb = conv_halo_blocks(ind, fd, od, s, p,
+                          OpTune(chunk=chunk, tap_cat=tap_cat))
     assert hb is not None, "expected a feasible halo blocking"
     residual = jnp.asarray(rng.standard_normal((n, oh, ow, oc)) * 0.1, dt) \
         if res else None
     out = pallas_conv2d_halo(x, wt, b, stride=s, pad=p, relu=relu, hb=hb,
                              precision="highest", interpret=True,
-                             residual=residual)
+                             residual=residual, tap_cat=tap_cat)
     ref = _ref_conv(x, wt, b, s, p, relu, residual)
     tol = 1e-5 if dt == jnp.float32 else 0.08
     err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
@@ -118,3 +119,25 @@ def test_gate_1x1s1():
     fd = Dims.of(out_chan=128, in_chan=128, y=1, x=1)
     od = Dims.of(img=1, chan=128, y=14, x=14)
     assert conv_halo_blocks(ind, fd, od, (1, 1), (0, 0), OpTune()) is None
+
+
+def test_tap_cat_3x3():
+    # deep-K tap-concatenated form: one (boy*owp, kh*kw*c) matmul per block
+    _run(2, 16, 16, 128, 3, 128, tap_cat=True)
+
+
+def test_tap_cat_tail_masked_padded_oc():
+    _run(1, 13, 13, 128, 3, 192, p=(1, 1), tap_cat=True)
+
+
+def test_tap_cat_5x5_residual():
+    _run(1, 14, 14, 128, 5, 128, p=(2, 2), res=True, tap_cat=True)
+
+
+def test_tap_cat_bf16():
+    _run(2, 14, 14, 128, 3, 256, dt=jnp.bfloat16, tap_cat=True)
+
+
+def test_tap_cat_strided_falls_back():
+    # stride>1: tap_cat is ignored (kernel runs the per-tap form), still correct
+    _run(2, 14, 14, 128, 3, 128, s=(2, 2), p=(1, 1), tap_cat=True)
