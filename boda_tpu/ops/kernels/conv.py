@@ -363,8 +363,16 @@ def _conv_halo_kernel(x_hbm, w_ref, b_ref, *rest, kh, kw, sy, sx, boy, owp,
                 + base + ky
             xk = jnp.where((rows >= py) & (rows < py + h), xk,
                            jnp.zeros((), xk.dtype))
+            # Mosaic cannot concatenate views with mismatched sublane
+            # offsets ("result/input offset mismatch on non-concat
+            # dimension"), so plain shifted slices xk[:, kx:kx+owp] fail to
+            # compile. Roll-then-slice realigns each view to offset 0 (no
+            # wraparound reaches the kept columns: q+kx < wp for q < owp).
+            # tpu.dynamic_rotate is unimplemented for sub-32-bit data, so
+            # tap_cat is gated to 32-bit dtypes (pallas_conv2d_halo).
             for kx in range(kw):
-                views.append(xk[:, kx:kx + owp, :])
+                xs = pltpu.roll(xk, wp - kx, 1) if kx else xk
+                views.append(xs[:, :owp, :])
         xcat = jnp.concatenate(views, axis=2).reshape(boy * owp, kh * kw * c)
         wcat = w_ref[:].reshape(kh * kw * c, boc)
         acc = jnp.dot(xcat, wcat, preferred_element_type=jnp.float32,
@@ -463,7 +471,10 @@ def pallas_conv2d_halo(x, wt, bias, *, stride=(1, 1), pad=(0, 0),
             py=py, h=h, wp=wp, r=r, n_t=n_t, bz=bz, xrp=xrp,
             precision=PRECISIONS[precision],
             relu=relu, has_res=residual is not None,
-            tap_cat=tap_cat and (sy, sx) == (1, 1)),
+            # tap_cat: stride-1, 32-bit only (Mosaic: no sub-32-bit rotate,
+            # and bf16 packed-layout concat hits the offset-mismatch error)
+            tap_cat=(tap_cat and (sy, sx) == (1, 1)
+                     and jnp.dtype(x.dtype).itemsize == 4)),
         grid=(n_t, jn),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, boy, owp, boc),
