@@ -16,6 +16,7 @@ _MODE_MODULES = [
     "boda_tpu.modes.lmdb_modes",
     "boda_tpu.modes.net_tune",
     "boda_tpu.modes.plot_modes",
+    "boda_tpu.modes.proc_pipe",
     "boda_tpu.modes.prof",
     "boda_tpu.modes.test_cmds",
     "boda_tpu.modes.test_compute",
