@@ -153,3 +153,84 @@ def read_caffemodel(fn: str) -> dict[str, list[Blob]]:
             if blobs:
                 out[name] = blobs
     return out
+
+
+# -- textproto dump (cnet_bpt_dump mode; ref caffepb.cc:709) -------------------
+#
+# The reference reads the trained NetParameter with compiled proto classes,
+# clears blob data, and TextFormat-prints it. Here the same generic wire
+# decoder drives a schema-directed printer: known fields get their proto
+# names, unknown fields print as f<N> so nothing is silently dropped.
+
+_DUMP_SCHEMA: dict[str, dict[int, tuple[str, str]]] = {
+    "NetParameter": {1: ("name", "str"), 2: ("layers", "msg:V1LayerParameter"),
+                     100: ("layer", "msg:LayerParameter")},
+    "LayerParameter": {1: ("name", "str"), 2: ("type", "str"),
+                       3: ("bottom", "str"), 4: ("top", "str"),
+                       5: ("phase", "int"), 7: ("blobs", "msg:BlobProto")},
+    "V1LayerParameter": {2: ("bottom", "str"), 3: ("top", "str"),
+                         4: ("name", "str"), 5: ("type", "enum_v1"),
+                         6: ("blobs", "msg:BlobProto")},
+    "BlobProto": {1: ("num", "int"), 2: ("channels", "int"),
+                  3: ("height", "int"), 4: ("width", "int"),
+                  5: ("data", "packed_f32"), 7: ("shape", "msg:BlobShape"),
+                  9: ("double_data", "packed_f64")},
+    "BlobShape": {1: ("dim", "packed_varint")},
+}
+_DATA_FIELDS = {("BlobProto", 5), ("BlobProto", 9)}
+
+
+def _esc(b: bytes) -> str:
+    out = []
+    for ch in b:
+        if ch in (0x22, 0x5C):  # " and backslash
+            out.append("\\" + chr(ch))
+        elif 0x20 <= ch < 0x7F:
+            out.append(chr(ch))
+        else:
+            out.append(f"\\{ch:03o}")
+    return "".join(out)
+
+
+def _fmt_float(v: float) -> str:
+    # shortest round-trip decimal for the float32 value
+    return np.format_float_positional(np.float32(v), unique=True, trim="0")
+
+
+def dump_textproto(buf: bytes, remove_data: bool = True) -> str:
+    """TextFormat-style dump of a binary NetParameter."""
+    lines: list[str] = []
+
+    def emit(msg: str, f: dict[int, list], ind: str) -> None:
+        for fno in sorted(f, key=lambda n: (n != 1, n)):  # name first
+            name, kind = _DUMP_SCHEMA.get(msg, {}).get(fno, (f"f{fno}", ""))
+            if remove_data and (msg, fno) in _DATA_FIELDS:
+                continue
+            for v in f[fno]:
+                if kind.startswith("msg:"):
+                    lines.append(f"{ind}{name} {{")
+                    emit(kind[4:], parse_wire(v), ind + "  ")
+                    lines.append(f"{ind}}}")
+                elif kind == "str":
+                    lines.append(f'{ind}{name}: "{_esc(bytes(v))}"')
+                elif kind == "enum_v1":
+                    tname = _V1_TYPES.get(int(v), str(int(v)))
+                    lines.append(f"{ind}{name}: {tname}")
+                elif kind == "packed_varint":
+                    for x in _packed_varints([v]):
+                        lines.append(f"{ind}{name}: {x}")
+                elif kind == "packed_f32":
+                    for x in _packed_floats([v]):
+                        lines.append(f"{ind}{name}: {_fmt_float(x)}")
+                elif kind == "packed_f64":
+                    arr = np.frombuffer(v, "<f8") if isinstance(v, memoryview) \
+                        else np.zeros(0)
+                    for x in arr:
+                        lines.append(f"{ind}{name}: {x!r}")
+                elif isinstance(v, memoryview):  # unknown length-delimited
+                    lines.append(f'{ind}{name}: "{_esc(bytes(v))}"')
+                else:
+                    lines.append(f"{ind}{name}: {int(v)}")
+
+    emit("NetParameter", parse_wire(memoryview(buf)), "")
+    return "\n".join(lines) + "\n"

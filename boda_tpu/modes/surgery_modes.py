@@ -85,3 +85,24 @@ class CnetUtil(_SurgeryMode):
                   f"max={d.max():.5g} mean={d.mean():.5g} std={d.std():.5g}")
         print(f"cnet_util: {len(pipe.weights)} weight blobs, "
               f"{sum(w.dims.num_elems() for w in pipe.weights.values())} params")
+
+
+@register("mode", "cnet_bpt_dump", help="dump a binary caffemodel as textproto")
+class CnetBptDump(Mode):
+    """Ref cnet_bpt_dump_t (caffepb.cc:709): read a trained binary
+    NetParameter, optionally clear blob data, TextFormat-print it."""
+
+    weights_fn = Field("filename", req=True, help="input caffemodel")
+    remove_data = Field(bool, default="1", help="strip blob data fields")
+
+    def main(self) -> None:
+        import os
+
+        from ..frontend.caffemodel import dump_textproto
+        if not os.path.exists(self.weights_fn):
+            raise ConfigError(
+                f"can't open caffemodel file "
+                f"{os.path.basename(self.weights_fn)!r}: no such file")
+        with open(self.weights_fn, "rb") as f:
+            print(dump_textproto(f.read(), remove_data=self.remove_data),
+                  end="")

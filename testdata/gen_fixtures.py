@@ -54,10 +54,39 @@ def gen_velo():
     print(f"wrote {fn} ({len(pkts)} packets)")
 
 
-if __name__ == "__main__":
-    gen_rec()
-    gen_velo()
-    gen_bag()
+def gen_caffemodel():
+    """A tiny trained-net NetParameter exercising both layer encodings:
+    one new-style LayerParameter (field 100) with a shaped blob, one V1
+    layers entry (field 2, enum type) with a legacy 4D blob, plus an
+    unknown field (the cnet_bpt_dump generic-printer path)."""
+    from boda_tpu.frontend.surgery import _ld, _varint
+
+    def field(fno, wt, payload):
+        return _varint((fno << 3) | wt) + payload
+
+    rng = np.random.RandomState(7)
+    w = rng.randn(4, 3, 3, 3).astype("<f4")
+    b = rng.randn(4).astype("<f4")
+    shape = b"".join(field(1, 0, _varint(d)) for d in w.shape)
+    blob_w = _ld(7, shape) + _ld(5, w.tobytes())
+    blob_b = _ld(7, field(1, 0, _varint(4))) + _ld(5, b.tobytes())
+    lp = _ld(1, b"conv1") + _ld(2, b"Convolution") + _ld(3, b"data") \
+        + _ld(4, b"conv1") + _ld(7, blob_w) \
+        + _ld(7, blob_b)
+    v1w = rng.randn(2, 4).astype("<f4")
+    v1blob = field(1, 0, _varint(1)) + field(2, 0, _varint(1)) \
+        + field(3, 0, _varint(2)) + field(4, 0, _varint(4)) \
+        + _ld(5, v1w.tobytes())
+    v1 = _ld(2, b"conv1") + _ld(3, b"fc1") + _ld(4, b"fc1") \
+        + field(5, 0, _varint(14)) + _ld(6, v1blob)
+    net = _ld(1, b"tinynet") + _ld(100, lp) + _ld(2, v1) \
+        + field(201, 0, _varint(9))  # unknown field
+    fn = os.path.join(TD, "nets", "tinynet.caffemodel")
+    with open(fn, "wb") as f:
+        f.write(net)
+    print(f"wrote {fn} ({len(net)} bytes)")
+
+
 
 
 def gen_bag():
@@ -78,3 +107,10 @@ def gen_bag():
     fn = os.path.join(TD, "streams", "mini.bag")
     write_bag(fn, msgs, compression="bz2")
     print(f"wrote {fn} ({len(msgs)} messages)")
+
+
+if __name__ == "__main__":
+    gen_rec()
+    gen_velo()
+    gen_bag()
+    gen_caffemodel()

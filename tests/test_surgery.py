@@ -118,3 +118,21 @@ def test_serve_bench_mode(tmp_path, capsys):
                f"--boda-output-dir={tmp_path}"])
     assert rc == 0
     assert '"img_per_sec"' in capsys.readouterr().out
+
+
+def test_cnet_bpt_dump(tmp_path, capsys):
+    from boda_tpu.cli import main
+    rc = main(["cnet_bpt_dump",
+               "--weights-fn=testdata/nets/tinynet.caffemodel"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'name: "tinynet"' in out
+    assert "type: InnerProduct" in out      # V1 enum decode
+    assert 'type: "Convolution"' in out     # new-style layer
+    assert "f201: 9" in out                 # unknown fields preserved
+    assert "data:" not in out               # remove_data=1 default
+    rc = main(["cnet_bpt_dump",
+               "--weights-fn=testdata/nets/tinynet.caffemodel",
+               "--remove_data=0"])
+    out = capsys.readouterr().out
+    assert out.count("data:") == 4 * 3 * 3 * 3 + 4 + 8  # w + b + v1 fc
