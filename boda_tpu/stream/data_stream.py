@@ -8,9 +8,10 @@ sources, start-stop-skip, stamp, crop, merge/ts-sync transforms, csv/text/
 block-file/png/null sinks, and a compact binary block-stream container.
 
 Format-specific streams the reference vendors: velodyne packet decode
-(stream/velodyne.py), pcap src/sink (ref data-stream-pcap.cc) and mxnet-brick
-RecordIO src/sink (ref data-stream-mxnet.cc) are implemented pure-python;
-ffmpeg/rosbag remain feature-gated errors (no codecs in this build).
+(stream/velodyne.py), pcap src/sink (ref data-stream-pcap.cc), mxnet-brick
+RecordIO src/sink (ref data-stream-mxnet.cc), rosbag v2.0 (stream/rosbag.py)
+and MJPEG-in-AVI video (stream/avi.py) are implemented pure-python; only
+general-codec ffmpeg remains a feature-gated error (no codecs in this build).
 """
 
 from __future__ import annotations
@@ -991,9 +992,35 @@ for _fmt in ("ffmpeg",):
             def start(self):
                 raise ConfigError(
                     f"data stream format {fmt!r} is not available in this "
-                    f"build (reference gates it behind a build feature too)")
+                    f"build (reference gates it behind a build feature too); "
+                    f"MJPEG .avi files need no codec — use avi-mjpeg-src")
         return _Gated
     _make(_fmt)
+
+
+@register("data_stream", "avi-mjpeg-src",
+          help="MJPEG-in-AVI video source (pure-python demux + jpeg decode)")
+class AviMjpegSrc(DataStream):
+    """Codec-free video ingestion (see stream/avi.py): each AVI movi chunk
+    is a complete JPEG, decoded by the same path as image files. General
+    codecs remain ffmpeg-gated (ref src/data-stream-ffmpeg.cc)."""
+    fn = Field("filename", req=True, help=".avi file (MJPG fourcc)")
+    stream_ix = Field(int, default="0", help="AVI stream index to read")
+
+    def start(self) -> None:
+        from .avi import read_avi_mjpeg
+        self._frames = iter(read_avi_mjpeg(self.fn))
+
+    def read(self):
+        from ..utils.img_io import Img
+        for fr in self._frames:
+            if fr.stream_ix != self.stream_ix:
+                continue
+            img = Img.from_bytes(fr.jpeg, what=f"mjpeg frame {fr.frame_ix}")
+            return DataBlock(ts=fr.ts_us, tag=f"frame_{fr.frame_ix}",
+                             frame_ix=fr.frame_ix,
+                             nda=NDA.from_array(img.data, ("y", "x", "c")))
+        return None
 
 
 @register("data_stream", "rosbag-src",

@@ -61,6 +61,17 @@ class Img:
         except Exception as e:
             raise ImgError(f"failed to load image {fn!r}: {e}") from None
 
+    @staticmethod
+    def from_bytes(data: bytes, what: str = "image") -> "Img":
+        """Decode an in-memory encoded image (e.g. an MJPEG AVI chunk)."""
+        import io
+        try:
+            from PIL import Image
+            with Image.open(io.BytesIO(data)) as im:
+                return Img(np.asarray(im.convert("RGBA")))
+        except Exception as e:
+            raise ImgError(f"failed to decode {what}: {e}") from None
+
     def save(self, fn: str) -> None:
         from PIL import Image
         Image.fromarray(self.data, "RGBA").save(fn)

@@ -109,8 +109,30 @@ def gen_bag():
     print(f"wrote {fn} ({len(msgs)} messages)")
 
 
+def gen_avi():
+    """4-frame MJPEG AVI (15 fps): deterministic gradient+box frames."""
+    import io
+
+    from PIL import Image
+
+    from boda_tpu.stream.avi import write_avi_mjpeg
+    jpegs = []
+    for i in range(4):
+        y, x = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+        rgb = np.stack([(x * 8) % 256, (y * 10) % 256,
+                        np.full_like(x, i * 60)], axis=2).astype(np.uint8)
+        rgb[4 + i * 2: 10 + i * 2, 6:14] = (255, 0, 0)  # moving box
+        b = io.BytesIO()
+        Image.fromarray(rgb, "RGB").save(b, "JPEG", quality=92)
+        jpegs.append(b.getvalue())
+    fn = os.path.join(TD, "streams", "mini.avi")
+    write_avi_mjpeg(fn, jpegs, fps=15, sz=(32, 24))
+    print(f"wrote {fn} ({len(jpegs)} frames)")
+
+
 if __name__ == "__main__":
     gen_rec()
     gen_velo()
     gen_bag()
     gen_caffemodel()
+    gen_avi()

@@ -549,3 +549,43 @@ def test_adj_angle_normalizes():
     adj.start()
     out = adj.read()
     assert np.allclose(out.nda.data, [0.0, -170.0, 170.0, 0.0, -180.0])
+
+
+def test_avi_mjpeg_src(tmp_path):
+    import io
+
+    from PIL import Image
+
+    from boda_tpu.stream.avi import read_avi_mjpeg, write_avi_mjpeg
+    rng = np.random.RandomState(5)
+    frames = [np.repeat(np.repeat(  # 8x8 blocks survive JPEG well
+        rng.randint(0, 256, (3, 4, 3), dtype=np.uint8), 8, 0), 8, 1)
+        for _ in range(3)]
+    jpegs = []
+    for f in frames:
+        b = io.BytesIO()
+        Image.fromarray(f, "RGB").save(b, "JPEG", quality=95)
+        jpegs.append(b.getvalue())
+    fn = str(tmp_path / "t.avi")
+    write_avi_mjpeg(fn, jpegs, fps=10, sz=(32, 24))
+    # demux round-trips the exact jpeg bytes + 10fps timestamps
+    got = list(read_avi_mjpeg(fn))
+    assert [g.jpeg for g in got] == jpegs
+    assert [g.ts_us for g in got] == [0, 100000, 200000]
+    # the stream source decodes to near the original pixels
+    src = _mk(f"(stream=avi-mjpeg-src,fn={fn})")
+    blocks = _drain(src)
+    assert len(blocks) == 3
+    for blk, f in zip(blocks, frames):
+        rgb = blk.nda.data[:, :, :3].astype(np.int32)
+        assert np.abs(rgb - f.astype(np.int32)).mean() < 12.0  # jpeg q95
+
+
+def test_avi_errors(tmp_path):
+    from boda_tpu.stream.avi import AviError, read_avi_mjpeg
+    with pytest.raises(AviError, match="no such file"):
+        list(read_avi_mjpeg(str(tmp_path / "nope.avi")))
+    bad = tmp_path / "bad.avi"
+    bad.write_bytes(b"RIFX" + b"\x00" * 16)
+    with pytest.raises(AviError, match="not a RIFF/AVI"):
+        list(read_avi_mjpeg(str(bad)))
