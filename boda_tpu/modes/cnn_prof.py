@@ -104,3 +104,84 @@ class CnnProf(Mode):
         arg_map = {p: f"{op.name}.{p}" for p, _ in fi.args}
         cg.run_func(fi, arg_map)
         return self.be.time_func(Call(fi.name, arg_map), n_iters=10)
+
+
+@register("mode", "net_decomp",
+          help="in-net stage timing via suffix-subgraph differences")
+class NetDecomp(Mode):
+    """Trustworthy in-net per-stage timing on dispatch-noisy devices.
+
+    The reference dumps per-layer times from its replay loop
+    (rtc_fwd.cc:560-572); here whole-net jit fuses layers, and standalone
+    per-op re-timing (per_layer_times) measures dispatch floors, not in-net
+    cost — the sum exceeds fused net time ~20x over a remote tunnel. This
+    mode instead times the FULL suffix subgraph from each cut node (the
+    engine prunes ops whose outputs are provided as inputs) with the same
+    chained difference method as the net itself; consecutive differences are
+    honest in-net stage costs, at cut-node granularity.
+    """
+
+    model = Field(str, default="", help="zoo model name")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    img = Field(int, default="32", help="batch size")
+    in_sz = Field(int, default="0", help="input size override")
+    conv_fwd = Field("conv_fwd",
+                     default="(mode=pallas,compute_tn=bfloat16,precision=default)",
+                     help="forward engine")
+    out_node = Field(str, default="", help="output node ('' = last)")
+    cuts = Field((list, str), default="()",
+                 help="cut node names ('()' = auto: spatial-stage boundaries)")
+    n_iters = Field(int, default="24", help="timing iterations per program")
+    chain = Field(int, default="8", help="data-chained forwards per dispatch")
+    repeats = Field(int, default="3", help="best-of repeats per program")
+
+    def _auto_cuts(self, pipe, in_name: str) -> list[str]:
+        """Last node at each spatial resolution (stage boundaries)."""
+        cuts, prev_y, prev_node = [], None, None
+        for op_name in pipe.topo_op_order():
+            for t in pipe.ops[op_name].tops:
+                node = pipe.nodes.get(t)
+                d = node.dims if node is not None else None
+                if d is None or "y" not in d or "img" not in d:
+                    continue
+                y = d["y"]
+                if prev_y is not None and y != prev_y and prev_node:
+                    cuts.append(prev_node)
+                prev_y, prev_node = y, t
+        return [in_name] + cuts
+
+    def main(self) -> None:
+        import numpy as np
+
+        from ..ops.kernels.gen_data import gen_data_pattern
+        from ..utils.dims import NDA
+        pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img,
+                                 self.in_sz)
+        eng = self.conv_fwd
+        eng.init(pipe)
+        in_name = next(iter(in_dims))
+        d = in_dims[in_name]
+        x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
+        out = self.out_node or pipe.ops[pipe.topo_op_order()[-1]].tops[0]
+        cuts = list(self.cuts) or self._auto_cuts(pipe, in_name)
+        acts = eng.run_fwd({in_name: x}, [c for c in cuts if c != in_name])
+        times = {}
+        for cut in cuts:
+            ins = {in_name: x} if cut == in_name else {cut: acts[cut]}
+            times[cut] = min(
+                eng.time_fwd(ins, [out], n_iters=self.n_iters,
+                             chain=self.chain)
+                for _ in range(self.repeats))
+        full = times[cuts[0]]
+        print(f"net_decomp: full {full*1e6:.1f} us/fwd "
+              f"({self.img/full:.1f} img/s), suffix times + stage diffs:")
+        for i, cut in enumerate(cuts):
+            stage = ""
+            if i + 1 < len(cuts):
+                dt = times[cut] - times[cuts[i + 1]]
+                stage = (f"  stage ->{cuts[i+1]}: {dt*1e6:8.1f} us "
+                         f"({100*dt/full:5.1f}%)")
+            print(f"  from {cut:20s} {times[cut]*1e6:10.1f} us{stage}")
+        tail = times[cuts[-1]]
+        print(f"  tail after {cuts[-1]}: {tail*1e6:.1f} us "
+              f"({100*tail/full:.1f}%)")

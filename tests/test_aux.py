@@ -69,3 +69,19 @@ def test_gen_src_dump(tmp_path):
                                    if f.endswith(".stablehlo.txt")][0]).read()
     assert "stablehlo" in txt and "func.func" in txt
     assert "gen_src: wrote" in eng.get_info_log()
+
+
+def test_net_decomp_mode(capsys):
+    from boda_tpu.cli import main
+    rc = main(["net_decomp", "--model=mini_resnet", "--img=2",
+               "--conv_fwd=(mode=xla)", "--n_iters=2", "--chain=1",
+               "--repeats=1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "net_decomp: full" in out
+    assert "stage ->" in out
+    # one suffix row per auto cut (CPU timing too noisy to assert ordering)
+    import re
+    times = [float(m) for m in re.findall(r"from \S+\s+([\d.]+) us", out)]
+    assert len(times) >= 3 and all(t > 0 for t in times)
+    assert "tail after" in out
