@@ -259,20 +259,28 @@ class FwdEngine:
 
         import jax
 
+        from ..config import get_env
         from ..utils.dims import stable_hash
-        os.makedirs(self.gen_src_dir, exist_ok=True)
+        d = self.gen_src_dir
+        if not os.path.isabs(d):  # relative: under the running mode's out dir
+            d = os.path.join(get_env().get("boda_output_dir", "."), d)
+        os.makedirs(d, exist_ok=True)
         raw = self.build_raw_fn(list(self._fn_key[1]))
         lowered = jax.jit(raw).lower(self._weights_dev, dev_ins)
         tag = f"{self.pipe.name}_{stable_hash(repr(self._fn_key)) & 0xFFFF:04x}"
-        with open(os.path.join(self.gen_src_dir, f"{tag}.stablehlo.txt"),
-                  "w") as f:
+        with open(os.path.join(d, f"{tag}.stablehlo.txt"), "w") as f:
             f.write(lowered.as_text())
         wrote = [f"{tag}.stablehlo.txt"]
         try:
+            import re as _re
             comp = lowered.compile()
-            with open(os.path.join(self.gen_src_dir, f"{tag}.opt_hlo.txt"),
-                      "w") as f:
-                f.write(comp.as_text())
+            # strip source-location metadata (file/line tables shift with any
+            # edit to this package and would churn the gen_src goldens)
+            hlo = comp.as_text()
+            hlo = _re.sub(r", metadata=\{[^}]*\}", "", hlo)
+            hlo = _re.sub(r"(?m)^\d+ \{file_name_id=[^}]*\}\n", "", hlo)
+            with open(os.path.join(d, f"{tag}.opt_hlo.txt"), "w") as f:
+                f.write(hlo)
             wrote.append(f"{tag}.opt_hlo.txt")
         except Exception as e:  # optimized-HLO text is backend-best-effort
             self._info_log.append(f"gen_src: opt-HLO unavailable ({e})")

@@ -56,10 +56,22 @@ def diff_file(good_fn: str, new_fn: str, digest_mrd: float = 1e-5) -> str:
     return f"binary files differ: {os.path.basename(good_fn)}\n"
 
 
+def _walk_rel(d: str, skip_hidden: bool = False) -> list[str]:
+    """All file paths under d, relative, sorted (subdirs included)."""
+    out = []
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            rel = os.path.relpath(os.path.join(root, f), d)
+            if skip_hidden and rel.startswith("."):
+                continue
+            out.append(rel)
+    return sorted(out)
+
+
 def diff_dirs(good_dir: str, new_dir: str, digest_mrd: float = 1e-5) -> str:
     out = []
-    good_files = sorted(os.listdir(good_dir)) if os.path.isdir(good_dir) else []
-    new_files = sorted(f for f in os.listdir(new_dir) if not f.startswith("."))
+    good_files = _walk_rel(good_dir) if os.path.isdir(good_dir) else []
+    new_files = _walk_rel(new_dir, skip_hidden=True)
     if good_files != new_files:
         out.append(f"file sets differ: good={good_files} new={new_files}\n")
     for f in good_files:

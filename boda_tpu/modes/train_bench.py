@@ -35,6 +35,8 @@ class TrainBench(Mode):
     chain = Field(int, default="4", help="steps chained per dispatch")
     n_iters = Field(int, default="12", help="timed dispatches")
     n_best = Field(int, default="3", help="best-of-N timing repeats")
+    golden_out = Field(bool, default="0",
+                       help="omit timing fields (deterministic golden output)")
 
     def main(self) -> None:
         import jax
@@ -102,11 +104,17 @@ class TrainBench(Mode):
         fwd_fl = pipe.total_flops()
         # fwd + input-grad + weight-grad conv passes: the standard 3x model
         step_fl = 3.0 * fwd_fl
-        print(json.dumps({
+        out = {
             "mode": "train_bench", "net": pipe.name, "img": self.img,
             "compute_tn": self.compute_tn or "float32",
             "img_per_sec": round(self.img / secs, 1),
             "secs_per_step": round(secs, 6),
             "TF_per_s": round(step_fl / secs / 1e12, 1),
             "loss_first": round(l0, 4), "loss_last": round(l1, 4),
-            "loss_decreased": bool(l1 < l0)}))
+            "loss_decreased": bool(l1 < l0)}
+        if self.golden_out:  # drop timing fields: goldenable output
+            out = {k: v for k, v in out.items()
+                   if k not in ("img_per_sec", "secs_per_step", "TF_per_s")}
+            out["loss_first"] = round(l0, 2)
+            out["loss_last"] = round(l1, 2)
+        print(json.dumps(out))
