@@ -461,6 +461,15 @@ class PallasFwd(FwdEngine):
     # conv output per residual block; no reference analog — the reference
     # never fused across eltwise)
     fuse_eltwise = Field(bool, default="1", help="fuse residual add into conv stores")
+    # whole-block fusion: lower an entire residual bottleneck (1x1 -> 3x3 ->
+    # 1x1 + skip, ResNet identity blocks) to ONE Pallas kernel holding every
+    # intermediate plane in VMEM (ops/kernels/block.py). Motivated by
+    # net_decomp: large-spatial 1x1 convs are HBM-bound unfused (~51 FLOP/B
+    # vs the ~240 FLOP/B v5e ridge); the block kernel cuts activation
+    # traffic from ~8 plane transfers to 2. Orthogonal to kernel_policy
+    # (XLA cannot fuse across its conv calls — this is a generated-kernel
+    # capability, applied even under the lib policy when it wins).
+    fuse_block = Field(bool, default="0", help="fuse residual bottleneck blocks")
     # int8 MXU inference: dynamic symmetric quantization of conv/fc compute
     # (per-tensor act scales, per-out-channel weight scales, int32 acc).
     # See OpTune.int8 — this sets the engine-wide default; per-op tunes can
@@ -494,7 +503,8 @@ class PallasFwd(FwdEngine):
         from ..utils.dims import stable_hash
         cfg = (self.layout, bool(self.fuse_relu), bool(self.fuse_eltwise),
                self.compute_tn, self.precision, bool(self.int8),
-               self.kernel_policy)
+               self.kernel_policy) + \
+            ((("block",) if self.fuse_block else ()))
         return f"{stable_hash(repr(cfg)) & 0xFFFFFFFF:08x}"
 
     def wisdom_plats(self) -> tuple[str, str]:
@@ -711,35 +721,134 @@ class PallasFwd(FwdEngine):
                                     cur = nxt2
                 if chain:
                     self._chains[op_name] = chain
+        self._blocks: dict[str, dict] = {}
+        if self.fuse_block and self.fuse_relu and self.fuse_eltwise and \
+                self.layout == "nhwc":
+            self._detect_blocks(pipe)
         for op_name in pipe.topo_op_order():
             op = pipe.ops[op_name]
             self._lowered[op_name] = self._lower(pipe, op, ctx, fused=False)
-            if op_name in self._chains:
+            if op_name in self._blocks:
+                self._lowered_fused[op_name] = self._lower_block(
+                    pipe, op, self._blocks[op_name], ctx)
+            elif op_name in self._chains:
                 self._lowered_fused[op_name] = self._lower_chain(
                     pipe, op, self._chains[op_name], ctx)
         self._upload_weights()
 
-    def _lower_chain(self, pipe: ConvPipe, conv_op, chain: list[str],
+    def _detect_blocks(self, pipe: ConvPipe) -> None:
+        """Find residual bottlenecks: convA(1x1 s1)+BN/Sc+ReLU ->
+        convB(3x3 s1 p1)+BN/Sc+ReLU -> convC(1x1 s1)+BN/Sc + Eltwise(skip=x)
+        + ReLU, every link single-consumer (already enforced by the chain
+        walk). Each found block merges the three chains into one mega-chain
+        on convA — build_raw_fn's generic chain plumbing (extras collection,
+        skip set, per-compile fuse decision) then applies unchanged — and
+        _lower_block lowers it to the single fused Pallas kernel."""
+        from ..ops.kernels.block import block_fuse_ok
+
+        def pure_relu_chain(conv_name):
+            ch = self._chains.get(conv_name)
+            if not ch:
+                return None
+            ops = [pipe.ops[c] for c in ch]
+            if ops[-1].type != "ReLU" or any(o.type == "Eltwise" for o in ops):
+                return None
+            return ch
+
+        def is_conv(op, k, s, p):
+            return (op is not None and op.type == "Convolution"
+                    and len(op.bots) == 3 and op.kern_sz() == (k, k)
+                    and op.stride() == (s, s) and op.pad() == (p, p)
+                    and op.p("groups", 1) == 1 and op.dilation() == (1, 1))
+
+        for a_name in list(self._chains):
+            opA = pipe.ops[a_name]
+            chA = pure_relu_chain(a_name)
+            if chA is None or not is_conv(opA, 1, 1, 0):
+                continue
+            tailA = pipe.ops[chA[-1]].tops[0]
+            cons = pipe.nodes[tailA].bot_for
+            if len(cons) != 1:
+                continue
+            b_name = cons[0]
+            opB = pipe.ops.get(b_name)
+            chB = pure_relu_chain(b_name)
+            if chB is None or not is_conv(opB, 3, 1, 1) or opB.bots[0] != tailA:
+                continue
+            tailB = pipe.ops[chB[-1]].tops[0]
+            cons = pipe.nodes[tailB].bot_for
+            if len(cons) != 1:
+                continue
+            c_name = cons[0]
+            opC = pipe.ops.get(c_name)
+            chC = self._chains.get(c_name)
+            if chC is None or not is_conv(opC, 1, 1, 0) \
+                    or opC.bots[0] != tailB:
+                continue
+            copsC = [pipe.ops[c] for c in chC]
+            elt = next((o for o in copsC if o.type == "Eltwise"), None)
+            if elt is None or copsC[-1].type != "ReLU":
+                continue
+            x_node = opA.bots[0]
+            if x_node not in elt.bots:
+                continue
+            xd = pipe.must_dims(x_node)
+            if self.compute_tn:
+                xd = xd.with_tn(self.compute_tn)
+            k_mid = pipe.must_dims(opA.tops[0])["chan"]
+            if pipe.must_dims(tailB)["chan"] != k_mid or \
+                    not block_fuse_ok(xd, 3, k_mid, (1, 1), (1, 1), 1):
+                continue
+            self._blocks[a_name] = {"a_chain": chA, "b": b_name,
+                                    "b_chain": chB, "c": c_name,
+                                    "c_chain": chC}
+            self._chains[a_name] = chA + [b_name] + chB + [c_name] + chC
+            self._info_log.append(
+                f"{a_name}: block-fused bottleneck (+{b_name},{c_name})")
+
+    def _lower_block(self, pipe: ConvPipe, opA, block: dict,
                      ctx: LowerCtx) -> Callable:
-        """Fused lowering for conv(+bias) -> [BN] -> [Scale] -> [Eltwise-sum]
-        -> [ReLU]: computes folded weights/bias in-jit, runs one kernel with
-        a fused bias(+residual)(+ReLU) store epilogue. When the selected conv
-        variant cannot take an in-kernel residual, the add+ReLU run as plain
-        XLA ops after the kernel (still one compile unit)."""
+        """One fused Pallas kernel for a residual bottleneck block; BN/Scale
+        params of all three convs fold into (w, b) in-jit (same math as
+        _lower_chain). Extras arrive in mega-chain order: A-chain folds,
+        (wB, bB), B-chain folds, (wC, bC), C-chain folds, eltwise skip."""
+        from ..ops.cnn_variants import ctx_interp
+        from ..ops.kernels.block import pallas_bottleneck
+        opB, opC = pipe.ops[block["b"]], pipe.ops[block["c"]]
+        foldA, nA = self._make_fold(pipe, opA, block["a_chain"])
+        foldB, nB = self._make_fold(pipe, opB, block["b_chain"])
+        foldC, nC = self._make_fold(pipe, opC, block["c_chain"])
+        prec = "default" if self.compute_tn == "bfloat16" else self.precision
+
+        def fn(x, wA, bA, *rest):
+            i = 0
+            wA2, bA2 = foldA(wA, bA, rest[i:i + nA])
+            i += nA
+            wB, bB = rest[i], rest[i + 1]
+            i += 2
+            wB2, bB2 = foldB(wB, bB, rest[i:i + nB])
+            i += nB
+            wC, bC = rest[i], rest[i + 1]
+            i += 2
+            wC2, bC2 = foldC(wC, bC, rest[i:i + nC])
+            # any remaining extra is the Eltwise skip node == x itself
+            c = x.shape[-1]
+            k = wA2.shape[-1]
+            out = pallas_bottleneck(
+                x, wA2.reshape(c, k), bA2, wB2, bB2, wC2.reshape(k, c), bC2,
+                precision=prec, relu_out=True, interpret=ctx_interp())
+            return (out,)
+        return fn
+
+    def _make_fold(self, pipe: ConvPipe, conv_op, chain: list[str]):
+        """BN/Scale weight-folding for a conv's chain: returns
+        (fold(w, b, extras) -> (w2, b2), n_extras) where extras are the
+        BN/Scale parameter values in chain order (Eltwise/ReLU take none)."""
         import jax.numpy as jnp
         from jax import lax as _lax
         ops = [pipe.ops[c] for c in chain]
-        has_relu = any(o.type == "ReLU" for o in ops)
         bn = next((o for o in ops if o.type == "BatchNorm"), None)
         sc = next((o for o in ops if o.type == "Scale"), None)
-        elt = next((o for o in ops if o.type == "Eltwise"), None)
-        fused_conv_fn = self._lower(pipe, conv_op, ctx, fused=has_relu)
-        res_in_kernel = elt is not None and \
-            getattr(fused_conv_fn, "supports_residual", False)
-        if elt is not None and not res_in_kernel:
-            # kernel can't fuse the residual: take an activation-free lowering
-            # and apply add(+ReLU) as XLA epilogue ops instead
-            fused_conv_fn = self._lower(pipe, conv_op, ctx, fused=False)
         eps = float(bn.p("eps", 1e-5)) if bn is not None else 0.0
         n_bn = (len(bn.bots) - 1) if bn is not None else 0
         n_sc = (len(sc.bots) - 1) if sc is not None else 0
@@ -747,13 +856,13 @@ class PallasFwd(FwdEngine):
         # axis; fc weights are (oc, in): scale on the first axis.
         scale_on_last = self.layout == "nhwc" and conv_op.type == "Convolution"
 
-        def fn(x, w, b, *rest):
+        def fold(w, b, extras):
             i = 0
             scale_eff = jnp.float32(1.0)
             shift = jnp.float32(0.0)
             if bn is not None:
-                mean, var = rest[i], rest[i + 1]
-                sf = rest[i + 2] if n_bn == 3 else None
+                mean, var = extras[i], extras[i + 1]
+                sf = extras[i + 2] if n_bn == 3 else None
                 i += n_bn
                 sfv = jnp.where(sf[0] != 0, 1.0 / sf[0], 1.0) \
                     if sf is not None else 1.0
@@ -761,8 +870,8 @@ class PallasFwd(FwdEngine):
                 scale_eff = scale_eff * inv
                 shift = shift - (mean * sfv) * inv
             if sc is not None:
-                gamma = rest[i]
-                beta = rest[i + 1] if n_sc == 2 else None
+                gamma = extras[i]
+                beta = extras[i + 1] if n_sc == 2 else None
                 i += n_sc
                 scale_eff = scale_eff * gamma
                 shift = shift * gamma
@@ -774,9 +883,34 @@ class PallasFwd(FwdEngine):
                 sh = (-1,) + (1,) * (w.ndim - 1)
                 w2 = (w * scale_eff.reshape(sh).astype(jnp.float32)).astype(w.dtype)
             b2 = (b * scale_eff + shift).astype(b.dtype)
+            return w2, b2
+        return fold, n_bn + n_sc
+
+    def _lower_chain(self, pipe: ConvPipe, conv_op, chain: list[str],
+                     ctx: LowerCtx) -> Callable:
+        """Fused lowering for conv(+bias) -> [BN] -> [Scale] -> [Eltwise-sum]
+        -> [ReLU]: computes folded weights/bias in-jit, runs one kernel with
+        a fused bias(+residual)(+ReLU) store epilogue. When the selected conv
+        variant cannot take an in-kernel residual, the add+ReLU run as plain
+        XLA ops after the kernel (still one compile unit)."""
+        import jax.numpy as jnp
+        ops = [pipe.ops[c] for c in chain]
+        has_relu = any(o.type == "ReLU" for o in ops)
+        elt = next((o for o in ops if o.type == "Eltwise"), None)
+        fused_conv_fn = self._lower(pipe, conv_op, ctx, fused=has_relu)
+        res_in_kernel = elt is not None and \
+            getattr(fused_conv_fn, "supports_residual", False)
+        if elt is not None and not res_in_kernel:
+            # kernel can't fuse the residual: take an activation-free lowering
+            # and apply add(+ReLU) as XLA epilogue ops instead
+            fused_conv_fn = self._lower(pipe, conv_op, ctx, fused=False)
+        fold, n_fold = self._make_fold(pipe, conv_op, chain)
+
+        def fn(x, w, b, *rest):
+            w2, b2 = fold(w, b, rest[:n_fold])
             if elt is None:
                 return fused_conv_fn(x, w2, b2)
-            res = rest[i]
+            res = rest[n_fold]
             if res_in_kernel:
                 return fused_conv_fn(x, w2, b2, residual=res)
             out = fused_conv_fn(x, w2, b2)[0] + res

@@ -2,7 +2,12 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
+              "high": jax.lax.Precision.HIGH,
+              "highest": jax.lax.Precision.HIGHEST}
 
 
 def cdiv(a: int, b: int) -> int:

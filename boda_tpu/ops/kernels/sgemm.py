@@ -27,9 +27,7 @@ from ..tune import OpTune
 from .common import jdt, pad2d, pick_block, round_up, sublane
 
 
-PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
-              "high": jax.lax.Precision.HIGH,
-              "highest": jax.lax.Precision.HIGHEST}
+from .common import PRECISIONS  # noqa: F401  (canonical home; re-export)
 
 
 def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, precision,
