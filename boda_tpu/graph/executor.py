@@ -274,11 +274,15 @@ class FwdEngine:
         try:
             import re as _re
             comp = lowered.compile()
-            # strip source-location metadata (file/line tables shift with any
-            # edit to this package and would churn the gen_src goldens)
+            # strip source-location metadata (file/line/call-stack tables
+            # shift with any edit or different call context and would churn
+            # the gen_src goldens)
             hlo = comp.as_text()
             hlo = _re.sub(r", metadata=\{[^}]*\}", "", hlo)
-            hlo = _re.sub(r"(?m)^\d+ \{file_name_id=[^}]*\}\n", "", hlo)
+            hlo = _re.sub(
+                r"(?ms)^(FileNames|FunctionNames|FileLocations|StackFrames)"
+                r"\n(^\d+ .*\n)*", "", hlo)
+            hlo = _re.sub(r"\n{3,}", "\n\n", hlo)
             with open(os.path.join(d, f"{tag}.opt_hlo.txt"), "w") as f:
                 f.write(hlo)
             wrote.append(f"{tag}.opt_hlo.txt")
