@@ -409,8 +409,14 @@ class FwdEngine:
                     else:
                         pins[k] = v
                 outs = raw(weights, pins)
-                leaf = jax.tree_util.tree_leaves(outs)[0]
-                return leaf.ravel()[0].astype(jnp.float32) * 1e-30, None
+                # full reduction, not out[0]: a lone slice can be pushed back
+                # through dots/convs by XLA, DCE-ing most of the leg (see
+                # prof/abtime.py); the sum forces every element to exist
+                tot = jnp.float32(0.0)
+                for leaf in jax.tree_util.tree_leaves(outs):
+                    if jnp.issubdtype(leaf.dtype, jnp.floating):
+                        tot = tot + jnp.sum(leaf.astype(jnp.float32))
+                return tot * 1e-30, None
             return lax.scan(step, jnp.float32(0.0), None, length=length)[0]
 
         n = max(4, n_iters)
@@ -726,8 +732,10 @@ class PallasFwd(FwdEngine):
                 if chain:
                     self._chains[op_name] = chain
         self._blocks: dict[str, dict] = {}
+        # no block fusion under training/backward graphs: pallas_call has no
+        # auto-VJP (gradients flow through the unfused per-op lowerings)
         if self.fuse_block and self.fuse_relu and self.fuse_eltwise and \
-                self.layout == "nhwc":
+                self.layout == "nhwc" and not pipe.bck_added and not self.train:
             self._detect_blocks(pipe)
         for op_name in pipe.topo_op_order():
             op = pipe.ops[op_name]

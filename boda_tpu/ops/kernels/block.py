@@ -70,7 +70,7 @@ def block_fuse_ok(xd: Dims, k: int, cc: int, s, p, groups: int,
 
 
 def _bneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                  o_ref, *, hh, ww, precision, relu_out, oc_blk):
+                  o_ref, *, hh, ww, precision, relu_out, oc_blk, rb, wp):
     c = x_ref.shape[-1]
     k = w1_ref.shape[-1]
     dt = x_ref.dtype
@@ -79,41 +79,51 @@ def _bneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     h1 = dot(x_ref[0].reshape(hh * ww, c), w1_ref[:])   # (H*W, K) f32
     h1 = jnp.maximum(h1 + b1_ref[:].astype(jnp.float32), 0.0)
     h1 = h1.reshape(hh, ww, k).astype(dt)
-    # zero border = the 3x3's pad ring (cheap sublane/outer concats)
-    h1p = jnp.pad(h1, ((1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((hh * ww, k), jnp.float32)
-    for ky in range(3):
-        xk = h1p[ky:ky + hh]                            # (H, W+2, K)
-        xk2 = xk.reshape(hh * (ww + 2), k)
-        for kx in range(3):
-            z = dot(xk2, w2_ref[ky, kx])                # full-width tap
-            z3 = z.reshape(hh, ww + 2, k)
-            acc = acc + z3[:, kx:kx + ww, :].reshape(hh * ww, k)
-    h2 = jnp.maximum(acc + b2_ref[:].astype(jnp.float32), 0.0).astype(dt)
-    # final 1x1 in lane-aligned C chunks: caps the live f32 set (the whole
-    # (H*W, C) f32 y + f32 residual copy blew the 16M scoped-VMEM limit)
-    for j in range(0, c, oc_blk):
-        yj = dot(h2, w3_ref[:, j:j + oc_blk])           # (H*W, ocb) f32
-        yj = yj + b3_ref[j:j + oc_blk].astype(jnp.float32)
-        yj = yj.reshape(hh, ww, oc_blk) \
-            + x_ref[0, :, :, j:j + oc_blk].astype(jnp.float32)
-        if relu_out:
-            yj = jnp.maximum(yj, 0.0)
-        o_ref[0, :, :, j:j + oc_blk] = yj.astype(o_ref.dtype)
+    # zero border = the 3x3's pad ring (pad right up to wp: sublane-aligned
+    # widths keep the shifted tap slices relayout-free)
+    h1p = jnp.pad(h1, ((1, 1), (1, wp - ww - 1), (0, 0)))
+    # 3x3 + final 1x1 in row chunks: small live values schedule well and
+    # the f32 partials never exceed ~rb*ww*max(c,k)
+    for r0 in range(0, hh, rb):
+        rr = min(rb, hh - r0)
+        acc = jnp.zeros((rr, ww, k), jnp.float32)
+        for ky in range(3):
+            xk = h1p[r0 + ky:r0 + ky + rr]              # (rr, WP, K)
+            xk2 = xk.reshape(rr * wp, k)
+            for kx in range(3):
+                z = dot(xk2, w2_ref[ky, kx])            # full-width tap
+                z3 = z.reshape(rr, wp, k)
+                acc = acc + z3[:, kx:kx + ww, :]
+        h2 = jnp.maximum(acc + b2_ref[:].astype(jnp.float32), 0.0).astype(dt)
+        h2 = h2.reshape(rr * ww, k)                     # contiguous collapse
+        # final 1x1 in lane-aligned C chunks: caps the live f32 set (the
+        # whole (H*W, C) f32 y + residual blew the 16M scoped-VMEM limit)
+        for j in range(0, c, oc_blk):
+            yj = dot(h2, w3_ref[:, j:j + oc_blk])       # (rr*W, ocb) f32
+            yj = yj + b3_ref[j:j + oc_blk].astype(jnp.float32)
+            yj = yj.reshape(rr, ww, oc_blk) \
+                + x_ref[0, r0:r0 + rr, :, j:j + oc_blk].astype(jnp.float32)
+            if relu_out:
+                yj = jnp.maximum(yj, 0.0)
+            o_ref[0, r0:r0 + rr, :, j:j + oc_blk] = yj.astype(o_ref.dtype)
 
 
 def pallas_bottleneck(x, w1, b1, w2, b2, w3, b3, *,
                       precision: str = "highest", relu_out: bool = True,
-                      interpret: bool = False):
+                      interpret: bool = False, rb: int = 0, oc_blk: int = 0):
     """x (N,H,W,C); w1 (C,K) b1 (K); w2 (3,3,K,K) b2 (K); w3 (K,C) b3 (C)
     -> relu(x + conv1x1(relu(conv3x3(relu(conv1x1(x)))))) (N,H,W,C)."""
     n, h, w, c = x.shape
     k = w1.shape[-1]
     assert w1.shape == (c, k) and w3.shape == (k, c), (w1.shape, w3.shape)
     assert w2.shape == (3, 3, k, k), w2.shape
-    kern = functools.partial(_bneck_kernel, hh=h, ww=w,
+    from .common import round_up
+    wp = round_up(w + 2, 8)
+    kern = functools.partial(_bneck_kernel, hh=h, ww=w, wp=wp,
                              precision=PRECISIONS[precision],
-                             relu_out=relu_out, oc_blk=_oc_blk(h, w, c))
+                             relu_out=relu_out,
+                             oc_blk=oc_blk or _oc_blk(h, w, c),
+                             rb=rb or h)
     grid = (n,)
     full = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s))
     return pl.pallas_call(
@@ -130,7 +140,7 @@ def pallas_bottleneck(x, w1, b1, w2, b2, w3, b3, *,
         # value stack at once (allocator does not reuse slots across the
         # unroll); the 16M default scoped limit is too tight at 56x56
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(x, w1, b1, w2, b2, w3, b3)

@@ -43,8 +43,16 @@ def build_ab_prog(raw_a: Callable, raw_b: Callable, out_names: list[str],
                     else:
                         pins[k] = v
                 outs = raw(weights, pins)
-                leaf = jax.tree_util.tree_leaves(outs)[0]
-                return leaf.ravel()[0].astype(jnp.float32) * 1e-30
+                # chain through a FULL reduction of every output: consuming
+                # only out[0] lets XLA push the slice back through dots and
+                # convs and dead-code-eliminate almost the entire leg
+                # (measured: impossible 600+ TF/s per-leg readings); a sum
+                # needs every element, so the leg must actually run
+                tot = jnp.float32(0.0)
+                for leaf in jax.tree_util.tree_leaves(outs):
+                    if jnp.issubdtype(leaf.dtype, jnp.floating):
+                        tot = tot + jnp.sum(leaf.astype(jnp.float32))
+                return tot * 1e-30
             return run
 
         run_a, run_b = leg(raw_a), leg(raw_b)
