@@ -44,7 +44,10 @@ class NetTune(Mode):
     # of the incumbent by this fraction. Run-to-run net timing over a remote
     # dispatch path jitters by several %; comparing against a stale minimum
     # (a lucky draw from an earlier group) locks in noise instead of signal.
-    margin = Field(float, default="0.02", help="required fractional win vs incumbent")
+    margin = Field(float, default="0.08",
+                   help="required fractional win vs incumbent (the A/B "
+                        "harness repeats within ~±6%; sub-noise margins "
+                        "accept jitter as wins)")
     # in-program A/B: candidate and incumbent nets compiled into ONE
     # executable (lax.cond legs picked by a runtime flags array) so the
     # comparison dispatches the SAME program — tunnel jitter cancels (the
@@ -119,13 +122,12 @@ class NetTune(Mode):
             """(cand_secs, incumbent_secs) via one dual-net program. Each
             variant gets its OWN weights dict (tunes may change weight prep),
             selected inside the wrapped raw fns."""
-            from ..prof.abtime import ab_compare, build_ab_prog
+            from ..prof.abtime import ab_compare
             raw_b, w_b, ins = raw_with(chosen)
             raw_a, w_a, _ = raw_with({**chosen, k: tune_s})
-            prog = build_ab_prog(lambda w, i: raw_a(w["a"], i),
-                                 lambda w, i: raw_b(w["b"], i),
-                                 ["prob"], n_legs=self.ab_legs)
-            return ab_compare(prog, {"a": w_a, "b": w_b}, ins,
+            return ab_compare(lambda w, i: raw_a(w["a"], i),
+                              lambda w, i: raw_b(w["b"], i),
+                              ["prob"], {"a": w_a, "b": w_b}, ins,
                               n_legs=self.ab_legs)
 
         for gi, k in enumerate(order):
@@ -166,13 +168,12 @@ class NetTune(Mode):
         # the per-group A/B exists to avoid).
         tuned_sel = dict(chosen)
         if self.ab and tuned_sel:
-            from ..prof.abtime import ab_compare, build_ab_prog
+            from ..prof.abtime import ab_compare
             raw_b, w_b, ins = raw_with({})
             raw_a, w_a, _ = raw_with(tuned_sel)
-            prog = build_ab_prog(lambda w, i: raw_a(w["a"], i),
-                                 lambda w, i: raw_b(w["b"], i),
-                                 ["prob"], n_legs=self.ab_legs)
-            best_t, base3 = ab_compare(prog, {"a": w_a, "b": w_b}, ins,
+            best_t, base3 = ab_compare(lambda w, i: raw_a(w["a"], i),
+                                       lambda w, i: raw_b(w["b"], i),
+                                       ["prob"], {"a": w_a, "b": w_b}, ins,
                                        n_legs=self.ab_legs)
             chosen.clear()
             chosen.update(tuned_sel)

@@ -66,30 +66,69 @@ def build_ab_prog(raw_a: Callable, raw_b: Callable, out_names: list[str],
     return jax.jit(prog)
 
 
-def ab_compare(prog: Callable, weights, dev_ins, n_legs: int = 8,
-               n_rounds: int = 5, n_iters: int = 6) -> tuple[float, float]:
+def ab_compare(raw_a: Callable, raw_b: Callable, out_names: list[str],
+               weights, dev_ins, n_legs: int = 8, reps: int = 2,
+               min_diff_s: float = 8e-3) -> tuple[float, float]:
     """(secs_per_fwd_A, secs_per_fwd_B) from interleaved same-program runs.
 
-    Per round, times the program once with flags=all-A and once with
-    flags=all-B (interleaved, so slow drift hits both equally) using the
-    difference method; returns the per-leg medians across rounds."""
-    import statistics
+    Work scales INSIDE one dispatch: each variant is timed as the scan-leg
+    slope between an n and a 2n-leg program (one blocked execution per
+    reading, best-of-reps). Scaling the number of *executions* of one
+    program instead measures dispatch pipelining, not device time — over
+    the tunneled TPU repeated identical dispatches overlap so deeply that
+    per-execution marginal cost reads near zero (impossible 600+ TF/s).
+
+    The leg count auto-scales: with ~26ms dispatch latency and ms-scale
+    jitter, the n-vs-2n difference must comfortably exceed the noise floor
+    (min_diff_s) or the slope is jitter, not device time. If the first
+    reading's difference is too small, legs are multiplied and the
+    measurement redone (scan bodies compile once regardless of length).
+    Measured repeatability (identical A/B programs, v5e over the tunnel):
+    per-side ratio within ~±6%. Treat sub-10% wins as noise unless
+    confirmed across independent calls."""
+    import time as _time
 
     import jax.numpy as jnp
 
-    from ..rtc.backends import time_diff_method
-    flags_a = jnp.ones((n_legs,), jnp.int32)
-    flags_b = jnp.zeros((n_legs,), jnp.int32)
+    def measure(legs):
+        progs = {n: build_ab_prog(raw_a, raw_b, out_names, n_legs=n)
+                 for n in (legs, 2 * legs)}
 
-    def timed(flags):
-        return time_diff_method(
-            lambda: prog(weights, dev_ins, flags),
-            lambda outs: [o.block_until_ready() for o in outs
-                          if hasattr(o, "block_until_ready")],
-            n_iters=n_iters, warmup=1) / n_legs
+        def run(n, a_side):
+            flags = (jnp.ones if a_side else jnp.zeros)((n,), jnp.int32)
+            t0 = _time.perf_counter()
+            # sync via scalar D2H: block_until_ready has been observed to
+            # return before device completion over the tunneled platform
+            # (probe: 512-leg program "completing" in 0.05ms); the host read
+            # of the chain result cannot
+            float(progs[n](weights, dev_ins, flags))
+            return _time.perf_counter() - t0
 
-    ta, tb = [], []
-    for _ in range(n_rounds):
-        ta.append(timed(flags_a))
-        tb.append(timed(flags_b))
-    return statistics.median(ta), statistics.median(tb)
+        import statistics
+        for n in progs:  # compile + warm both variants
+            run(n, True)
+            run(n, False)
+        das, dbs = [], []
+        for p in range(3):  # median of 3 independent slope passes: a single
+            # jittered reading otherwise produces wild outlier slopes
+            t = {(s, n): [] for s in (True, False) for n in progs}
+            for _r in range(reps):
+                for n in progs:
+                    # palindromic order: each side gets a reading in the
+                    # warm (second) position, so min() cancels switch cost
+                    for side in (True, False, False, True):
+                        t[(side, n)].append(run(n, side))
+            das.append(min(t[(True, 2 * legs)]) - min(t[(True, legs)]))
+            dbs.append(min(t[(False, 2 * legs)]) - min(t[(False, legs)]))
+        return statistics.median(das), statistics.median(dbs)
+
+    legs = n_legs
+    da, db = measure(legs)
+    for _ in range(3):
+        worst = min(da, db)
+        if worst >= min_diff_s:
+            break
+        scale = max(4, int(min_diff_s / max(worst, min_diff_s / 64)))
+        legs = min(legs * scale, 4096)
+        da, db = measure(legs)
+    return max(da / legs, 1e-12), max(db / legs, 1e-12)

@@ -30,7 +30,7 @@ def main():
     from jax import lax
 
     from boda_tpu.ops.kernels.block import block_fuse_ok, pallas_bottleneck
-    from boda_tpu.prof.abtime import ab_compare, build_ab_prog
+    from boda_tpu.prof.abtime import ab_compare
     from boda_tpu.utils.dims import Dims
 
     dt = jnp.bfloat16 if (len(sys.argv) < 2 or sys.argv[1] == "bf16") \
@@ -83,8 +83,7 @@ def main():
                                     - b.astype(jnp.float32))))
         scale = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) or 1.0
         log(f"{n}x{h}x{w}x{c} k{k} fuse_ok={ok} rel_err={err/scale:.2e}")
-        prog = build_ab_prog(f_fused, f_xla, ["o"], n_legs=8)
-        ta, tb = ab_compare(prog, weights, ins, n_legs=8)
+        ta, tb = ab_compare(f_fused, f_xla, ["o"], weights, ins, n_legs=8)
         row = {"shape": f"{n}x{h}x{w}x{c} mid{k}", "fuse_ok": ok,
                "rel_err": err / scale,
                "fused_tf": flops / ta / 1e12, "xla_tf": flops / tb / 1e12,

@@ -24,7 +24,7 @@ def ab_model(model, img=32):
     from boda_tpu.config import make
     from boda_tpu.models.zoo import build_model
     from boda_tpu.ops.kernels.gen_data import gen_data_pattern
-    from boda_tpu.prof.abtime import ab_compare, build_ab_prog
+    from boda_tpu.prof.abtime import ab_compare
     from boda_tpu.utils.lexp import parse_lexp
 
     pipe, in_dims = build_model(model, img=img)
@@ -48,9 +48,9 @@ def ab_model(model, img=32):
     dev = eng.device()
     # build_raw_fn consumes logical-layout (NCHW) inputs, like net_tune
     ins = {"data": jax.device_put(x, dev)}
-    prog = build_ab_prog(lambda w, i: raw_a(w["a"], i),
-                         lambda w, i: raw_b(w["b"], i), ["prob"], n_legs=8)
-    ta, tb = ab_compare(prog, {"a": w_a, "b": w_b}, ins, n_legs=8)
+    ta, tb = ab_compare(lambda w, i: raw_a(w["a"], i),
+                        lambda w, i: raw_b(w["b"], i), ["prob"],
+                        {"a": w_a, "b": w_b}, ins, n_legs=8)
     log(f"{model} b{img}: s2d_on {img/ta:.1f} img/s  s2d_off {img/tb:.1f} "
         f"img/s  speedup {tb/ta:.3f}x")
     return {"model": model, "img": img, "on_img_s": img / ta,

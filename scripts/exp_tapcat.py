@@ -31,7 +31,7 @@ def main():
 
     from boda_tpu.ops.kernels.conv import conv_halo_blocks, pallas_conv2d_halo
     from boda_tpu.ops.tune import OpTune
-    from boda_tpu.prof.abtime import ab_compare, build_ab_prog
+    from boda_tpu.prof.abtime import ab_compare
     from boda_tpu.utils.dims import Dims
 
     dt = jnp.bfloat16 if (len(sys.argv) < 2 or sys.argv[1] == "bf16") \
@@ -76,8 +76,7 @@ def main():
                  ("tapcat_vs_xla", mk_halo(hb_tc, True), f_xla)]
         row = {"shape": f"{n}x{h}x{w}x{c} k{k} oc{oc}", "hb": str(hb_tc)}
         for name, fa, fb in pairs:
-            prog = build_ab_prog(fa, fb, ["o"], n_legs=8)
-            ta, tb = ab_compare(prog, weights, ins, n_legs=8)
+            ta, tb = ab_compare(fa, fb, ["o"], weights, ins, n_legs=8)
             row[name] = {"a_tf": flops / ta / 1e12, "b_tf": flops / tb / 1e12,
                          "speedup_a": tb / ta}
             log(f"{row['shape']} {name}: A {flops/ta/1e12:.1f} TF/s "

@@ -39,8 +39,9 @@ def test_ab_prog_runs_both_variants():
                   jnp.asarray([1, 0, 1, 0], jnp.int32)):
         out = prog(weights, dev_ins, flags)
         assert np.isfinite(float(out))
-    ta, tb = ab_compare(prog, weights, dev_ins, n_legs=n_legs, n_rounds=2,
-                        n_iters=2)
+    ta, tb = ab_compare(lambda w, i: raw_a(w["a"], i),
+                        lambda w, i: raw_b(w["b"], i), ["prob"],
+                        weights, dev_ins, n_legs=n_legs, reps=2)
     assert ta > 0 and tb > 0
 
 
