@@ -433,7 +433,9 @@ class FwdEngine:
 
         def run(length):
             t0 = _time.perf_counter()
-            fns[length](self._weights_dev, dev_ins).block_until_ready()
+            # scalar D2H read: block_until_ready has been observed returning
+            # before device completion on the tunneled platform (abtime.py)
+            float(fns[length](self._weights_dev, dev_ins))
             return _time.perf_counter() - t0
 
         for length in fns:  # compile + warm

@@ -38,7 +38,12 @@ def build_ab_prog(raw_a: Callable, raw_b: Callable, out_names: list[str],
             def run(carry):
                 pins = {}
                 for k, v in xins.items():
-                    if jnp.issubdtype(v.dtype, jnp.floating):
+                    if jnp.issubdtype(v.dtype, jnp.floating) or \
+                        jnp.issubdtype(v.dtype, jnp.integer):
+                        # also chain int inputs: the cast of a runtime ~1e-30
+                        # float is 0 in VALUE but not provably so at compile
+                        # time, which stops XLA hoisting an all-int leg out
+                        # of the scan as loop-invariant
                         pins[k] = v + carry.astype(v.dtype)
                     else:
                         pins[k] = v

@@ -109,15 +109,74 @@ class _JaxBackend(Backend):
             if hasattr(a, "block_until_ready"):
                 a.block_until_ready()
 
-    # precise kernel timing via the difference method: time n and 2n
-    # dispatch batches and take the slope. This cancels the fixed host->device
-    # dispatch/sync latency (large over the axon tunnel: ~26ms/sync), which a
-    # naive timed loop under-amortizes. (Replaces per-call CUDA events.)
+    # precise kernel timing: data-dependent chaining INSIDE one dispatch
+    # (a lax.scan of n data-chained kernel applications), slope between the
+    # n and 2n-leg programs, scalar-D2H sync. Three measured traps force
+    # this design (see prof/abtime.py): repeated identical dispatches
+    # pipeline so deeply that per-execution marginal cost reads ~0; a lone
+    # out[0] chain gets slice-DCE'd; and block_until_ready can return
+    # before device completion on the tunneled platform.
+    def _chained_prog(self, fi: FuncInfo, length: int):
+        jax = _jax()
+        import jax.numpy as jnp
+        from jax import lax
+        fn = fi.fn
+
+        def prog(*ins):
+            def step(carry, _):
+                pins = []
+                for v in ins:
+                    if hasattr(v, "dtype") and (
+                            jnp.issubdtype(v.dtype, jnp.floating)
+                            or jnp.issubdtype(v.dtype, jnp.integer)):
+                        pins.append(v + carry.astype(v.dtype))
+                    else:
+                        pins.append(v)
+                outs = fn(*pins)
+                outs = outs if isinstance(outs, tuple) else (outs,)
+                tot = jnp.float32(0.0)
+                for o in outs:
+                    if jnp.issubdtype(o.dtype, jnp.floating) or \
+                            jnp.issubdtype(o.dtype, jnp.integer):
+                        tot = tot + jnp.sum(o.astype(jnp.float32))
+                return tot * 1e-30, None
+            return lax.scan(step, jnp.float32(0.0), None, length=length)[0]
+        return jax.jit(prog)
+
     def time_func(self, call, n_iters: int = 20, warmup: int = 3):
+        import time as _time
         fi = self.funcs[call.fn_name]
-        fn = self._compiled[fi.name]
         ins = [self._get(call.arg_map[p])[1] for p in fi.in_names]
-        return time_diff_method(lambda: fn(*ins), self._block_on, n_iters, warmup)
+        if not ins:  # nothing to chain through (e.g. gen_data): repeat-run
+            fn = self._compiled[fi.name]
+            return time_diff_method(lambda: fn(*ins), self._block_on,
+                                    n_iters, warmup)
+        n = max(4, n_iters)
+        cache = getattr(self, "_time_progs", None)
+        if cache is None:
+            cache = self._time_progs = {}
+        progs = {}
+        for length in (n, 2 * n):
+            key = (fi.name, length)
+            if key not in cache:
+                cache[key] = self._chained_prog(fi, length)
+            progs[length] = cache[key]
+
+        def run(length):
+            t0 = _time.perf_counter()
+            float(progs[length](*ins))  # D2H read = real completion barrier
+            return _time.perf_counter() - t0
+
+        for length in progs:
+            for _ in range(max(1, warmup - 1)):
+                run(length)
+        import statistics
+        slopes = []
+        for _ in range(3):
+            t_n = min(run(n) for _ in range(2))
+            t_2n = min(run(2 * n) for _ in range(2))
+            slopes.append((t_2n - t_n) / n)
+        return max(statistics.median(slopes), 1e-12)
 
 
 @register("be", "tpu", help="TPU backend: Pallas kernels + XLA (the real device)")
