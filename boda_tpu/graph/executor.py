@@ -415,7 +415,11 @@ class FwdEngine:
                 tot = jnp.float32(0.0)
                 for leaf in jax.tree_util.tree_leaves(outs):
                     if jnp.issubdtype(leaf.dtype, jnp.floating):
-                        tot = tot + jnp.sum(leaf.astype(jnp.float32))
+                        # abs: a LINEAR full reduction of a matmul can be
+                        # strength-reduced by XLA to O(N^2) (sum(XW) =
+                        # sum_k rowsum(X)_k * colsum(W)_k — observed 290
+                        # "TF/s" on a 197 TF/s part); abs blocks the rewrite
+                        tot = tot + jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
                 return tot * 1e-30, None
             return lax.scan(step, jnp.float32(0.0), None, length=length)[0]
 

@@ -138,7 +138,9 @@ class _JaxBackend(Backend):
                 for o in outs:
                     if jnp.issubdtype(o.dtype, jnp.floating) or \
                             jnp.issubdtype(o.dtype, jnp.integer):
-                        tot = tot + jnp.sum(o.astype(jnp.float32))
+                        # abs blocks sum-of-matmul strength reduction (see
+                        # prof/abtime.py)
+                        tot = tot + jnp.sum(jnp.abs(o.astype(jnp.float32)))
                 return tot * 1e-30, None
             return lax.scan(step, jnp.float32(0.0), None, length=length)[0]
         return jax.jit(prog)
