@@ -40,6 +40,10 @@ def main() -> int:
     policy = os.environ.get("BENCH_POLICY", "lib")
     # per-op wisdom overrides (re-swept per engine-fusion fingerprint)
     wisdom = os.environ.get("BENCH_WISDOM", "")
+    # net-level batch-split tune regions, comma-separated "in:out:k"
+    # (see PallasFwd.batch_split — fixes stage-level large-batch
+    # compilation pathologies, e.g. r50 res2@b64)
+    bsplit = [s for s in os.environ.get("BENCH_BSPLIT", "").split(",") if s]
 
     import boda_tpu.modes_all  # noqa: F401
     from boda_tpu.config import make
@@ -53,6 +57,8 @@ def main() -> int:
         kw["wisdom_fn"] = wisdom
     if engine == "pallas":
         kw["kernel_policy"] = policy
+        if bsplit:
+            kw["batch_split"] = bsplit
     eng = make("conv_fwd", engine, precision=prec, compute_tn=ctn, **kw)
     eng.init(pipe)
     d = in_dims["data"]
@@ -83,6 +89,7 @@ def main() -> int:
         "vs_baseline": round(img_s / TITAN_X_RESNET50_IMG_S, 3),
         "detail": {"engine": engine, "precision": prec, "compute_tn": ctn,
                    "img": img, "kernel_policy": policy,
+                   **({"batch_split": bsplit} if bsplit else {}),
                    "secs_per_fwd": round(secs, 6),
                    "GF_per_s": round(fl * img / secs / 1e9, 1)},
     }))

@@ -24,7 +24,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from ..config import Field, register, register_base
+from ..config import ConfigError, Field, register, register_base
 from ..utils.dims import NDA, Dims, np_dtype
 from ..utils.timers import timer
 from .lowering import LowerCtx, lower_op
@@ -509,6 +509,18 @@ class PallasFwd(FwdEngine):
     # autotuning wisdom: best recorded tune per op signature + platform
     # (ref: per-op tune selection from wisdom files, op-tuner.cc)
     wisdom_fn = Field("filename", default="", help="wisdom file for per-op tunes")
+    # net-level tune: run the subgraph in_node->out_node as k batch chunks
+    # compiled inside the one jit (entries "in_node:out_node:k"). XLA's
+    # conv emitter occasionally compiles a stage pathologically at large
+    # batch (measured: r50 res2@b64 in-net costs 2.35x its b32 time while
+    # every other stage scales ~linearly); chunking restores the
+    # small-batch compilation for that stage only, leaving the rest at
+    # full batch. Inference ops are per-sample along img, so the split is
+    # semantics-exact. The reference tunes work decomposition per op
+    # (gbt_tile.H:24, op_tune_t cnn_op.H:10); on TPU the decomposition
+    # belongs to XLA, and THIS is the remaining externally-tunable axis.
+    batch_split = Field((list, str), default="()",
+                        help="batch-split regions 'in_node:out_node:k'")
 
     def fusion_fingerprint(self) -> str:
         """Stable tag of the engine configuration that shapes what a 'good'
@@ -520,7 +532,9 @@ class PallasFwd(FwdEngine):
         cfg = (self.layout, bool(self.fuse_relu), bool(self.fuse_eltwise),
                self.compute_tn, self.precision, bool(self.int8),
                self.kernel_policy) + \
-            ((("block",) if self.fuse_block else ()))
+            ((("block",) if self.fuse_block else ())) + \
+            (tuple(sorted(map(str, self.batch_split)))
+             if self.batch_split else ())
         return f"{stable_hash(repr(cfg)) & 0xFFFFFFFF:08x}"
 
     def wisdom_plats(self) -> tuple[str, str]:
@@ -1137,6 +1151,59 @@ class PallasFwd(FwdEngine):
                 lowered[op_name] = self._lowered[op_name]
         is4d = {n: self._is_4d(n) for n in pipe.nodes}
 
+        # batch-split regions (see the batch_split Field doc): resolve each
+        # spec to its execution-unit slice now; whether a region applies is
+        # decided per trace inside net_fn (mid-region inputs/outputs — e.g.
+        # net_decomp suffix runs or per-layer tests — deactivate it).
+        regions = []
+        exec_units = [o for o in topo if o not in skip_ops]
+        for spec in (self.batch_split or []):
+            try:
+                a_node, b_node, k_str = str(spec).split(":")
+                k = int(k_str)
+            except ValueError:
+                raise ConfigError(
+                    f"batch_split entry {spec!r} is not 'in_node:out_node:k'")
+            units, needed = [], {b_node}
+            for op_name in reversed(exec_units):
+                op = pipe.ops[op_name]
+                tops = ([chain_final_top[op_name]] if op_name in fused_now
+                        else list(op.tops))
+                if any(t in needed for t in tops):
+                    units.append(op_name)
+                    deps = list(op.bots) + chain_args.get(op_name, [])
+                    needed.difference_update(tops)
+                    needed.update(d for d in deps if d != a_node)
+            units.reverse()
+            ext = [n for n in needed if n not in pipe.weights]
+            if not units or ext:
+                raise ConfigError(
+                    f"batch_split region {spec!r}: external data deps {ext} "
+                    f"(region must be closed between its in and out nodes)")
+            internal = set()
+            for u in units:
+                internal.update([chain_final_top[u]] if u in fused_now
+                                else pipe.ops[u].tops)
+            internal.discard(b_node)
+            uset = set(units)
+            for op_name in exec_units:
+                if op_name in uset:
+                    continue
+                deps = list(pipe.ops[op_name].bots) + \
+                    chain_args.get(op_name, [])
+                leak = internal.intersection(deps)
+                if leak:
+                    raise ConfigError(
+                        f"batch_split region {spec!r}: node(s) {sorted(leak)} "
+                        f"consumed outside the region")
+            img = pipe.must_dims(a_node)["img"]
+            if img % k != 0:
+                raise ConfigError(
+                    f"batch_split region {spec!r}: k={k} does not divide "
+                    f"batch {img}")
+            regions.append({"a": a_node, "b": b_node, "k": k, "units": units,
+                            "internal": internal})
+
         cdt = _jnp_dt(self.compute_tn) if self.compute_tn else None
         stats = self.per_layer_stats
 
@@ -1170,24 +1237,63 @@ class PallasFwd(FwdEngine):
                     needed.update(op.bots)
                     if op_name in fused_now:
                         needed.update(chain_args[op_name])
+            # batch-split regions apply only when intact for this trace: all
+            # units scheduled, and no mid-region node crossing the boundary
+            # as a provided input or requested output
+            unit_region = {}
+            for reg in regions:
+                boundary = reg["internal"] | {reg["a"]}
+                if all(u in run_ops for u in reg["units"]) and \
+                        not boundary.intersection(vals) and \
+                        not reg["internal"].intersection(out_names):
+                    for u in reg["units"]:
+                        unit_region[u] = reg
+            # trace-time introspection (tests assert activation)
+            self._bs_applied = sorted(
+                {(r["a"], r["b"]) for r in unit_region.values()})
+
+            def _exec_one(op_name, look):
+                op = pipe.ops[op_name]
+                try:
+                    bot_vals = [look(b) for b in op.bots]
+                    if op_name in fused_now:
+                        bot_vals += [look(b) for b in chain_args[op_name]]
+                except KeyError as e:
+                    raise PipeError(
+                        f"op {op_name!r}: missing input {e}") from None
+                outs = lowered[op_name](*bot_vals)
+                if op_name in fused_now:
+                    return [(chain_final_top[op_name], outs[0])]
+                return list(zip(op.tops, outs))
+
+            done_regions = set()
             for op_name in topo:
                 if op_name not in run_ops:
                     continue
-                op = pipe.ops[op_name]
-                try:
-                    bot_vals = [vals[b] for b in op.bots]
-                    if op_name in fused_now:
-                        bot_vals += [vals[b] for b in chain_args[op_name]]
-                except KeyError as e:
-                    raise PipeError(f"op {op_name!r}: missing input {e}") from None
-                outs = lowered[op_name](*bot_vals)
-                if op_name in fused_now:
-                    vals[chain_final_top[op_name]] = outs[0]
-                    _stat(chain_final_top[op_name], outs[0])
-                else:
-                    vals.update(zip(op.tops, outs))
-                    for t, v in zip(op.tops, outs):
-                        _stat(t, v)
+                reg = unit_region.get(op_name)
+                if reg is not None:
+                    if id(reg) in done_regions:
+                        continue
+                    done_regions.add(id(reg))
+                    xa = vals[reg["a"]]
+
+                    def piece(xc, reg=reg):
+                        rv = {reg["a"]: xc}
+                        for u in reg["units"]:
+                            for t, v in _exec_one(
+                                    u, lambda n: rv[n] if n in rv
+                                    else vals[n]):
+                                rv[t] = v
+                        return rv[reg["b"]]
+                    chunks = jnp.split(xa, reg["k"], axis=0)
+                    out_b = jnp.concatenate([piece(c) for c in chunks],
+                                            axis=0)
+                    vals[reg["b"]] = out_b
+                    _stat(reg["b"], out_b)
+                    continue
+                for t, v in _exec_one(op_name, vals.__getitem__):
+                    vals[t] = v
+                    _stat(t, v)
             res = {}
             for n in out_names:
                 v = vals[n]
