@@ -202,3 +202,54 @@ class NetTune(Mode):
         write_wisdom(fn, wis)
         print(f"net_tune: {self.img / base:.1f} -> {self.img / best_t:.1f} "
               f"img/s; wrote {len(wis)} tuned sigs to {self.wisdom_out_fn}")
+
+
+@register("mode", "net_ab",
+          help="jitter-immune whole-net A/B of two engine configs")
+class NetAB(Mode):
+    """Compare two ENGINE configurations (layout, fusion flags, batch_split
+    regions, kernel policy ...) with the in-program A/B harness: both whole
+    nets compile into ONE executable (prof/abtime.py), so tunnel dispatch
+    jitter cancels. net_tune sweeps per-op tunes; this is the net-level
+    axis — e.g. ``--b='(mode=pallas,...,batch_split=(r=pool1:res2c_relu:2))'``
+    to validate a batch-split region. Parity: the measurement role of the
+    reference's tune comparisons (op-tuner.cc) at whole-program scope."""
+
+    model = Field(str, default="", help="zoo model")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    img = Field(int, default="32", help="batch size")
+    a = Field("conv_fwd",
+              default="(mode=pallas,compute_tn=bfloat16,precision=default)",
+              help="engine config A (incumbent)")
+    b = Field("conv_fwd",
+              default="(mode=pallas,compute_tn=bfloat16,precision=default)",
+              help="engine config B (candidate)")
+    out_node = Field(str, default="prob", help="output node")
+    ab_legs = Field(int, default="6", help="chained forwards per A/B program")
+
+    def main(self) -> None:
+        import jax
+
+        from ..ops.kernels.gen_data import gen_data_pattern
+        from ..prof.abtime import ab_compare
+        pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img, 0)
+        d = in_dims["data"]
+        x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
+
+        def prep(eng):
+            eng.init(pipe)
+            raw = eng.build_raw_fn([self.out_node])
+            return raw, dict(eng._weights_dev)
+
+        raw_a, w_a = prep(self.a)
+        raw_b, w_b = prep(self.b)
+        ins = {"data": jax.device_put(x.data, self.a.device())}
+        ta, tb = ab_compare(lambda w, i: raw_a(w["a"], i),
+                            lambda w, i: raw_b(w["b"], i),
+                            [self.out_node], {"a": w_a, "b": w_b}, ins,
+                            n_legs=self.ab_legs)
+        print(f"net_ab {pipe.name} img={self.img}: "
+              f"A {ta*1e6:.1f} us/fwd ({self.img/ta:.1f} img/s)  "
+              f"B {tb*1e6:.1f} us/fwd ({self.img/tb:.1f} img/s)  "
+              f"B/A speedup {ta/tb:.3f}x "
+              f"({'B wins' if tb < ta * 0.9 else 'A wins' if ta < tb * 0.9 else 'parity (within noise)'})")
