@@ -75,11 +75,12 @@ def main() -> int:
     # TPU tunnel (~26ms RTT) unchained per-dispatch timing measures dispatch
     # jitter, not device time (observed ±15% run variance; chained is stable)
     chain = int(os.environ.get("BENCH_CHAIN", "8"))
-    # best-of-3: run-to-run jitter over the remote dispatch path is several
+    # best-of-N: run-to-run jitter over the remote dispatch path is several
     # percent (occasionally 2x); the min approximates the noise-free time
     # (compile is cached after the first call, so repeats are cheap)
+    reps = int(os.environ.get("BENCH_REPS", "4"))
     secs = min(eng.time_fwd({"data": x}, ["prob"], n_iters=24, chain=chain)
-               for _ in range(3))
+               for _ in range(reps))
     img_s = img / secs
     fl = pipe.total_flops() / img
     print(json.dumps({
