@@ -38,8 +38,15 @@ def main() -> int:
     prec = os.environ.get("BENCH_PREC", "default")
     ctn = os.environ.get("BENCH_TN", "bfloat16")
     policy = os.environ.get("BENCH_POLICY", "lib")
-    # per-op wisdom overrides (re-swept per engine-fusion fingerprint)
-    wisdom = os.environ.get("BENCH_WISDOM", "")
+    # per-op wisdom overrides (re-swept per engine-fusion fingerprint).
+    # Default: the committed flagship wisdom (net_tune-accepted wins on the
+    # real device, e.g. the stem_s2d fold). Records are keyed by platform +
+    # fusion fingerprint, so on any other device/config they simply miss.
+    flagship_wis = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "testdata", "wisdom", "flagship.wis")
+    wisdom = os.environ.get(
+        "BENCH_WISDOM",
+        flagship_wis if os.path.exists(flagship_wis) else "")
     # net-level batch-split tune regions, comma-separated "in:out:k"
     # (see PallasFwd.batch_split — fixes stage-level large-batch
     # compilation pathologies, e.g. r50 res2@b64)

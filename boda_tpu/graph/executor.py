@@ -617,6 +617,19 @@ class PallasFwd(FwdEngine):
         if self.kernel_policy == "lib" and not explicit \
                 and "use_xla" not in str(self.tune):
             tune = dataclasses.replace(tune, use_xla=True)
+        # tp sharding runs the GSPMD path, which cannot partition pallas_call
+        # custom calls: a wisdom/per-op tune naming a generated kernel would
+        # silently change the sharding story (XLA either rejects or fully
+        # replicates the op). Force the library lowering per op under tp —
+        # gen tunes apply to unsharded and dp-only runs. The engine-level
+        # kernel_policy=gen case keeps its hard error in _build_sharded_fn.
+        if (not tune.use_xla and self.kernel_policy == "lib"
+                and self._mesh is not None
+                and "tp" in self._mesh.axis_names
+                and self._mesh.shape["tp"] > 1):
+            self._info_log.append(
+                f"{op_name}: tp>1 forces use_xla (gen tune deferred)")
+            tune = dataclasses.replace(tune, use_xla=True)
         return tune
 
     def _build_sharded_fn(self, raw, in_names, out_names) -> Callable:

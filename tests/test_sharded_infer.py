@@ -46,6 +46,33 @@ def test_pallas_tp_rejected_with_gen_kernels():
         eng.run_fwd({"data": x}, ["prob"])
 
 
+def test_pallas_tp_forces_lib_over_wisdom(tmp_path):
+    """tp>1 + per-op gen tunes (wisdom): the GSPMD path cannot partition
+    pallas_call, so the engine must force the library lowering per op
+    instead of silently shipping an unpartitionable program."""
+    from boda_tpu.ops.sig_of import collect_net_sigs
+    from boda_tpu.prof.wisdom import OpRun, OpWisdom, write_wisdom
+    pipe, x = _setup()
+    wis = []
+    for s in collect_net_sigs(pipe):
+        w = OpWisdom(s)
+        w.runs.append(OpRun("(bm=64,bn=128,bk=128)", "interp:cpu", 1e-4))
+        wis.append(w)
+    fn = tmp_path / "w.wis"
+    write_wisdom(str(fn), wis)
+    eng = make("conv_fwd", "pallas", wisdom_fn=str(fn),
+               mesh=parse_lexp("(dp=2,tp=4)"))
+    eng.init(pipe)
+    got = eng.run_fwd({"data": x}, ["prob"])["prob"].data
+    assert "tp>1 forces use_xla" in eng.get_info_log()
+    base = make("conv_fwd", "xla")
+    base.init(pipe)
+    ref = base.run_fwd({"data": x}, ["prob"])["prob"].data
+    scale = max(1e-30, float(np.abs(ref).max()))
+    r = comp_vars(ref, got, mrd_toler=1e-4, atol=1e-5 * scale)
+    assert r.ok(), r
+
+
 def test_bf16_compute():
     pipe, x = _setup(img=2)
     f32 = make("conv_fwd", "pallas")
