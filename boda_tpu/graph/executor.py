@@ -98,6 +98,10 @@ class FwdEngine:
     def init(self, pipe: ConvPipe) -> None:
         self.pipe = pipe
         self._lowered = {}
+        # timing chains close over the lowered program; a re-init (e.g.
+        # net_tune applying a new per_op_tune) must invalidate them or
+        # time_fwd keeps timing the stale build
+        self._chain_fns = {}
         ctx = self.lower_ctx()
         for op_name in pipe.topo_op_order():
             op = pipe.ops[op_name]
@@ -647,12 +651,17 @@ class PallasFwd(FwdEngine):
                                                    out_names)
             raise PipeError("pallas engine shards dp only with generated "
                             "kernels; use kernel_policy=lib or mode=xla for tp")
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map  # jax >= 0.8 (check_rep -> check_vma)
+            rep_kw = {"check_vma": False}
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+            rep_kw = {"check_rep": False}
         w_specs = {k: P() for k in self.pipe.weights}
         in_specs = {n: P("dp") for n in in_names}
         out_specs = {n: P("dp") for n in out_names}
         smapped = shard_map(raw, mesh=self._mesh, in_specs=(w_specs, in_specs),
-                            out_specs=out_specs, check_rep=False)
+                            out_specs=out_specs, **rep_kw)
         jitted = jax.jit(smapped)
 
         def fn(weights, inputs):
@@ -695,6 +704,7 @@ class PallasFwd(FwdEngine):
         self._weight_preps: dict[str, Callable] = {}
         self._lowered = {}
         self._lowered_fused = {}
+        self._chain_fns = {}  # see base init: stale-timing invalidation
         ctx = self.lower_ctx()
         # fusion chains (ref conv+relu fusion, rtc_fwd.cc:490, generalized):
         # conv/fc -> [BatchNorm] -> [Scale] -> [ReLU], each link single-consumer.
@@ -766,9 +776,16 @@ class PallasFwd(FwdEngine):
                     self._chains[op_name] = chain
         self._blocks: dict[str, dict] = {}
         # no block fusion under training/backward graphs: pallas_call has no
-        # auto-VJP (gradients flow through the unfused per-op lowerings)
+        # auto-VJP (gradients flow through the unfused per-op lowerings).
+        # no block fusion under tp>1 either: _lower_block emits
+        # pallas_bottleneck, which GSPMD cannot partition (same constraint
+        # the per-op use_xla forcing in _op_tune protects)
+        tp_sharded = (self._mesh is not None
+                      and "tp" in self._mesh.axis_names
+                      and self._mesh.shape["tp"] > 1)
         if self.fuse_block and self.fuse_relu and self.fuse_eltwise and \
-                self.layout == "nhwc" and not pipe.bck_added and not self.train:
+                self.layout == "nhwc" and not pipe.bck_added and \
+                not self.train and not tp_sharded:
             self._detect_blocks(pipe)
         for op_name in pipe.topo_op_order():
             op = pipe.ops[op_name]
@@ -1252,12 +1269,13 @@ class PallasFwd(FwdEngine):
                         needed.update(chain_args[op_name])
             # batch-split regions apply only when intact for this trace: all
             # units scheduled, and no mid-region node crossing the boundary
-            # as a provided input or requested output
+            # as a provided input or requested output (reg["a"] itself MAY be
+            # a provided input — e.g. the net input — the region just splits
+            # whatever value sits at its entry)
             unit_region = {}
             for reg in regions:
-                boundary = reg["internal"] | {reg["a"]}
                 if all(u in run_ops for u in reg["units"]) and \
-                        not boundary.intersection(vals) and \
+                        not reg["internal"].intersection(vals) and \
                         not reg["internal"].intersection(out_names):
                     for u in reg["units"]:
                         unit_region[u] = reg

@@ -87,7 +87,7 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
         # runtime per-tensor amax reduce; out-of-range acts saturate at +-127
         amax = (getattr(ctx, "act_amax", None) or {}).get(op.bots[0])
         info_log.append(f"{op.name}: nhwc-int8_conv s={s}"
-                        + (f" static_amax={amax:.4g}" if amax else ""))
+                        + (f" static_amax={amax:.4g}" if amax is not None else ""))
 
         def fn(x, w, b, residual=None):
             wf = w.astype(jnp.float32)
@@ -95,7 +95,7 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
                              1e-12) / 127.0
             wq = jnp.round(wf / ws).astype(jnp.int8)
             xf = x.astype(jnp.float32)
-            if amax:
+            if amax is not None:  # truthiness would skip a valid amax==0.0
                 xs = jnp.float32(max(amax, 1e-12) / 127.0)
                 xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
             else:
@@ -323,7 +323,7 @@ def _nhwc_ip(pipe, op, ctx, tune, info_log):
         if tune.int8 else None
     info_log.append(f"{op.name}: nhwc-ip{' int8' if tune.int8 else ''} "
                     f"bm={bm} bn={bn} bk={bk}"
-                    + (f" static_amax={amax:.4g}" if amax else ""))
+                    + (f" static_amax={amax:.4g}" if amax is not None else ""))
     prec = PRECISIONS[tune.precision]
     use_xla = tune.use_xla
 
@@ -335,7 +335,7 @@ def _nhwc_ip(pipe, op, ctx, tune, info_log):
             wf = w.astype(jnp.float32)
             ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-12) / 127.0
             wq = jnp.round(wf / ws[:, None]).astype(jnp.int8)
-            if amax:
+            if amax is not None:  # truthiness would skip a valid amax==0.0
                 xs = jnp.float32(max(amax, 1e-12) / 127.0)
                 xq = jnp.clip(jnp.round(xf.astype(jnp.float32) / xs),
                               -127, 127).astype(jnp.int8)

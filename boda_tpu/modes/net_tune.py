@@ -119,26 +119,30 @@ class NetTune(Mode):
             ins = {"data": jax.device_put(x.data, dev)}
             return raw, dict(eng._weights_dev), ins
 
-        def ab_pick(k: str, tune_s: str) -> tuple[float, float]:
+        def ab_pick(k: str, tune_s: str, inc: tuple) -> tuple[float, float]:
             """(cand_secs, incumbent_secs) via one dual-net program. Each
             variant gets its OWN weights dict (tunes may change weight prep),
-            selected inside the wrapped raw fns."""
+            selected inside the wrapped raw fns. `inc` is the incumbent build
+            (constant within a group — built once, not per candidate)."""
             from ..prof.abtime import ab_compare
-            raw_b, w_b, ins = raw_with(chosen)
+            raw_b, w_b, ins = inc
             raw_a, w_a, _ = raw_with({**chosen, k: tune_s})
             return ab_compare(lambda w, i: raw_a(w["a"], i),
                               lambda w, i: raw_b(w["b"], i),
-                              ["prob"], {"a": w_a, "b": w_b}, ins,
+                              {"a": w_a, "b": w_b}, ins,
                               n_legs=self.ab_legs)
 
         for gi, k in enumerate(order):
             results = {}
             if self.ab:
                 inc_ts = []
+                inc = None
                 for cname, tune_s in cands.items():
                     if chosen.get(k) == tune_s:
                         continue  # candidate IS the incumbent
-                    ta, tb = ab_pick(k, tune_s)
+                    if inc is None:
+                        inc = raw_with(chosen)
+                    ta, tb = ab_pick(k, tune_s, inc)
                     results[cname] = ta
                     inc_ts.append(tb)
                 if not inc_ts:
@@ -174,7 +178,7 @@ class NetTune(Mode):
             raw_a, w_a, _ = raw_with(tuned_sel)
             best_t, base3 = ab_compare(lambda w, i: raw_a(w["a"], i),
                                        lambda w, i: raw_b(w["b"], i),
-                                       ["prob"], {"a": w_a, "b": w_b}, ins,
+                                       {"a": w_a, "b": w_b}, ins,
                                        n_legs=self.ab_legs)
             chosen.clear()
             chosen.update(tuned_sel)
@@ -247,7 +251,7 @@ class NetAB(Mode):
         ins = {"data": jax.device_put(x.data, self.a.device())}
         ta, tb = ab_compare(lambda w, i: raw_a(w["a"], i),
                             lambda w, i: raw_b(w["b"], i),
-                            [self.out_node], {"a": w_a, "b": w_b}, ins,
+                            {"a": w_a, "b": w_b}, ins,
                             n_legs=self.ab_legs)
         print(f"net_ab {pipe.name} img={self.img}: "
               f"A {ta*1e6:.1f} us/fwd ({self.img/ta:.1f} img/s)  "

@@ -62,7 +62,8 @@ def _walk_rel(d: str, skip_hidden: bool = False) -> list[str]:
     for root, _dirs, files in os.walk(d):
         for f in files:
             rel = os.path.relpath(os.path.join(root, f), d)
-            if skip_hidden and rel.startswith("."):
+            if skip_hidden and any(p.startswith(".")
+                                   for p in rel.split(os.sep)):
                 continue
             out.append(rel)
     return sorted(out)

@@ -35,6 +35,7 @@ class TrainLmdb(Mode):
     clip_norm = Field(float, default="1.0", help="global-norm grad clip")
     bn_momentum = Field(float, default="0.1", help="train-mode BN EMA rate")
     compute_tn = Field(str, default="", help="bfloat16 = f32-master mixed precision")
+    remat = Field(str, default="", help="rematerialization: '' | full | dots")
     mesh = Field("lexp", default="()", help="mesh axes, e.g. (dp=2)")
     log_every = Field(int, default="1", help="print loss every N steps")
     # LR schedules (parallel/schedules.py): lr is the base rate
@@ -71,7 +72,8 @@ class TrainLmdb(Mode):
                                weight_decay=self.weight_decay,
                                bn_momentum=self.bn_momentum,
                                compute_dtype=cdt,
-                               lr_schedule=sched)
+                               lr_schedule=sched,
+                               remat=self.remat)
         # donate the previous weights/momentum buffers: the update writes
         # in place instead of allocating a second full copy of the state
         # every step (r50 f32 masters + momentum ≈ 200MB of HBM churn).
@@ -145,12 +147,13 @@ class TrainLmdb(Mode):
                 print(f"step {i}: loss {loss:.3g}")
             if ckpt and self.ckpt_every and (i + 1) % self.ckpt_every == 0:
                 save(i + 1)
-        if ckpt:
-            save(self.n_steps)
-        if first is None:  # resumed past the end
+        if first is None:  # resumed past the end: keep the existing (newer)
+            # checkpoint — re-saving would relabel its step backwards
             print(f"train_lmdb: nothing to do (resumed at {start} "
                   f">= n_steps {self.n_steps})")
             return
+        if ckpt:
+            save(self.n_steps)
         print(f"train_lmdb: {self.n_steps - start} steps over {len(recs)} "
               f"records, loss {first:.3g} -> {last:.3g} "
               f"({'improved' if last < first else 'NOT improved'})")

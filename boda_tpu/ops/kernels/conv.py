@@ -266,8 +266,10 @@ def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
             w_blk = kh * kw * c * boc * itemsize
             out_blk = boy * owp * boc * itemsize
             z_tmp = (boy * wp * boc + boy * owp * boc) * 4  # per-tap f32 temps
-            if tune.tap_cat and (sy, sx) == (1, 1):
-                # gathered (boy*owp, kh*kw*c) operand lives alongside
+            if tune.tap_cat and (sy, sx) == (1, 1) and itemsize == 4:
+                # gathered (boy*owp, kh*kw*c) operand lives alongside;
+                # pallas_conv2d_halo only enables tap_cat for 32-bit dtypes,
+                # so don't charge the budget (and shrink blocks) for sub-32
                 z_tmp += boy * owp * kh * kw * c * itemsize
             if 2 * x_blk + 2 * w_blk + 2 * out_blk + z_tmp <= _VMEM_BUDGET:
                 return HaloBlocks(boy=boy, boc=boc, jn=jn, xr=xr, xrp=xrp,

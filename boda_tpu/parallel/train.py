@@ -100,7 +100,8 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
                     momentum: float = 0.0, weight_decay: float = 0.0,
                     bn_momentum: float = 0.0,
                     compute_dtype=None,
-                    lr_schedule: Optional[Callable] = None) -> Callable:
+                    lr_schedule: Optional[Callable] = None,
+                    remat: str = "") -> Callable:
     """SGD(+momentum, +decoupled weight decay) step:
     fn(weights, x_dict, labels[, mom_state]) -> (loss, new_weights)
     — or (loss, new_weights, new_mom_state) when momentum > 0 (pass the
@@ -115,13 +116,29 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
     forward/backward run in compute_dtype, updates apply to the masters.
     lr_schedule (see parallel.schedules.make_lr_schedule) makes the step
     take a trailing ``step=`` index and derive lr from it inside the jit
-    (one compiled program for the whole run, no per-step recompiles)."""
+    (one compiled program for the whole run, no per-step recompiles).
+    remat rematerializes the forward during the backward pass
+    (jax.checkpoint), trading FLOPs for activation HBM — the standard TPU
+    lever for fitting larger batches/deeper nets per chip:
+      "full"  recompute everything (cheapest memory, ~1.3x step FLOPs)
+      "dots"  save matmul/conv outputs, recompute the elementwise tail
+              (checkpoint_dots policy — most of the memory win at a
+              fraction of the recompute)"""
     import jax
     import jax.numpy as jnp
     net_fn = build_net_fn(pipe, [logits_node],
                           LowerCtx(precision=precision, train=True,
                                    det_drop_seed=42),
                           bn_momentum=bn_momentum)
+    if remat:
+        policies = {"full": None,
+                    "dots": jax.checkpoint_policies.checkpoint_dots}
+        if remat not in policies:
+            raise ValueError(f"remat must be one of {sorted(policies)} "
+                             f"or '', not {remat!r}")
+        pol = policies[remat]
+        net_fn = jax.checkpoint(net_fn, policy=pol) if pol is not None \
+            else jax.checkpoint(net_fn)
 
     def loss_fn(train_w, frozen_w, inputs, labels):
         res = net_fn({**train_w, **frozen_w}, inputs)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from typing import Callable
 
 
-def build_ab_prog(raw_a: Callable, raw_b: Callable, out_names: list[str],
+def build_ab_prog(raw_a: Callable, raw_b: Callable,
                   n_legs: int = 8) -> Callable:
     """One jitted fn(weights, inputs, flags) -> f32 scalar running `n_legs`
     data-dependent whole-net forwards; leg i runs variant A when flags[i]
@@ -75,7 +75,7 @@ def build_ab_prog(raw_a: Callable, raw_b: Callable, out_names: list[str],
     return jax.jit(prog)
 
 
-def ab_compare(raw_a: Callable, raw_b: Callable, out_names: list[str],
+def ab_compare(raw_a: Callable, raw_b: Callable,
                weights, dev_ins, n_legs: int = 8, reps: int = 2,
                min_diff_s: float = 8e-3) -> tuple[float, float]:
     """(secs_per_fwd_A, secs_per_fwd_B) from interleaved same-program runs.
@@ -100,7 +100,7 @@ def ab_compare(raw_a: Callable, raw_b: Callable, out_names: list[str],
     import jax.numpy as jnp
 
     def measure(legs):
-        progs = {n: build_ab_prog(raw_a, raw_b, out_names, n_legs=n)
+        progs = {n: build_ab_prog(raw_a, raw_b, n_legs=n)
                  for n in (legs, 2 * legs)}
 
         def run(n, a_side):

@@ -548,8 +548,9 @@ class AdjAngle(DataStream):
         v = b.nda.data.astype(np.float64)
         if self.negate:
             v = -v
-        v = np.mod(v + self.adj + 180.0, 360.0)
-        v += np.where(v < 0, 180.0, -180.0)
+        # np.mod result is always in [0, 360), so shifting back to
+        # [-180, 180) is an unconditional subtract
+        v = np.mod(v + self.adj + 180.0, 360.0) - 180.0
         out = v if b.nda.data.dtype.kind == "f" else np.rint(v)
         b.nda = NDA(b.nda.dims, np.ascontiguousarray(out.astype(b.nda.data.dtype)))
         return b

@@ -49,7 +49,7 @@ def main() -> int:
         _, raw_c, w_c = prep(bsplit)
         tc, tb = ab_compare(lambda w, i: raw_c(w["a"], i),
                             lambda w, i: raw0(w["b"], i),
-                            ["prob"], {"a": w_c, "b": w0}, ins, n_legs=6)
+                            {"a": w_c, "b": w0}, ins, n_legs=6)
         results[name] = (tc, tb)
         print(f"cand {name}: {tc*1e6:.1f} us vs base {tb*1e6:.1f} us "
               f"-> speedup {tb/tc:.3f}x", flush=True)

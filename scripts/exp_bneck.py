@@ -83,7 +83,7 @@ def main():
                                     - b.astype(jnp.float32))))
         scale = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) or 1.0
         log(f"{n}x{h}x{w}x{c} k{k} fuse_ok={ok} rel_err={err/scale:.2e}")
-        ta, tb = ab_compare(f_fused, f_xla, ["o"], weights, ins, n_legs=8)
+        ta, tb = ab_compare(f_fused, f_xla, weights, ins, n_legs=8)
         row = {"shape": f"{n}x{h}x{w}x{c} mid{k}", "fuse_ok": ok,
                "rel_err": err / scale,
                "fused_tf": flops / ta / 1e12, "xla_tf": flops / tb / 1e12,

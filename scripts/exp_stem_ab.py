@@ -49,7 +49,7 @@ def ab_model(model, img=32):
     # build_raw_fn consumes logical-layout (NCHW) inputs, like net_tune
     ins = {"data": jax.device_put(x, dev)}
     ta, tb = ab_compare(lambda w, i: raw_a(w["a"], i),
-                        lambda w, i: raw_b(w["b"], i), ["prob"],
+                        lambda w, i: raw_b(w["b"], i),
                         {"a": w_a, "b": w_b}, ins, n_legs=8)
     log(f"{model} b{img}: s2d_on {img/ta:.1f} img/s  s2d_off {img/tb:.1f} "
         f"img/s  speedup {tb/ta:.3f}x")

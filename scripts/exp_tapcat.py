@@ -76,7 +76,7 @@ def main():
                  ("tapcat_vs_xla", mk_halo(hb_tc, True), f_xla)]
         row = {"shape": f"{n}x{h}x{w}x{c} k{k} oc{oc}", "hb": str(hb_tc)}
         for name, fa, fb in pairs:
-            ta, tb = ab_compare(fa, fb, ["o"], weights, ins, n_legs=8)
+            ta, tb = ab_compare(fa, fb, weights, ins, n_legs=8)
             row[name] = {"a_tf": flops / ta / 1e12, "b_tf": flops / tb / 1e12,
                          "speedup_a": tb / ta}
             log(f"{row['shape']} {name}: A {flops/ta/1e12:.1f} TF/s "

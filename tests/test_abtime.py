@@ -29,7 +29,7 @@ def test_ab_prog_runs_both_variants():
     raw_b, w_b = _engine_raw(pipe, "(use_xla=1,precision=highest)")
     n_legs = 4
     prog = build_ab_prog(lambda w, i: raw_a(w["a"], i),
-                         lambda w, i: raw_b(w["b"], i), ["prob"],
+                         lambda w, i: raw_b(w["b"], i),
                          n_legs=n_legs)
     x = np.random.RandomState(0).randn(*in_dims["data"].shape).astype(np.float32)
     dev_ins = {"data": jnp.asarray(x)}
@@ -40,7 +40,7 @@ def test_ab_prog_runs_both_variants():
         out = prog(weights, dev_ins, flags)
         assert np.isfinite(float(out))
     ta, tb = ab_compare(lambda w, i: raw_a(w["a"], i),
-                        lambda w, i: raw_b(w["b"], i), ["prob"],
+                        lambda w, i: raw_b(w["b"], i),
                         weights, dev_ins, n_legs=n_legs, reps=2)
     assert ta > 0 and tb > 0
 
@@ -56,3 +56,15 @@ def test_net_tune_ab_mode_writes_wisdom(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "in-program A/B" in out
     assert (tmp_path / "net-tuned.wis").exists()
+
+
+def test_chain_cache_invalidated_on_reinit():
+    """time_fwd's chained timing programs close over the lowered net; a
+    re-init (net_tune applying a new per_op_tune) must drop them or every
+    later measurement silently times the stale build."""
+    pipe, _ = build_model("mini_resnet", img=2, num_cls=8, in_sz=8)
+    eng = make("conv_fwd", "pallas")
+    eng.init(pipe)
+    eng._chain_fns[("sentinel",)] = object()
+    eng.init(pipe)
+    assert eng._chain_fns == {}

@@ -94,3 +94,16 @@ def test_batch_split_bad_specs():
     # eltwise outside the region
     with pytest.raises(ConfigError, match="consumed outside the region"):
         init_run("data:s1b0_r1:2")
+
+
+def test_batch_split_from_net_input():
+    # a region whose entry IS a provided input (the net input) must still
+    # apply: only INTERNAL nodes crossing the boundary deactivate it
+    pipe, in_dims = build_model("mini_resnet", img=4)
+    ref, _, _ = _fwd(pipe, in_dims, ["prob"])
+    got, eng, _ = _fwd(pipe, in_dims, ["prob"],
+                       batch_split=["data:s1b1_relu:2"])
+    assert eng._bs_applied == [("data", "s1b1_relu")]
+    r = comp_vars(ref["prob"].data, got["prob"].data,
+                  mrd_toler=1e-5, atol=1e-6)
+    assert r.ok(), r

@@ -86,3 +86,22 @@ def test_resnet50_blocks_detected():
     eng.init(pipe)
     # identity (non-downsampling) blocks: (3-1)+(4-1)+(6-1)+(3-1) = 12
     assert len(eng._blocks) == 12
+
+
+def test_block_fusion_disabled_under_tp():
+    """tp>1 GSPMD cannot partition pallas_call: fuse_block must deactivate
+    (same constraint the per-op use_xla forcing protects)."""
+    from boda_tpu.utils.lexp import parse_lexp
+    pipe, in_dims = _tiny_bneck()
+    x = _x(in_dims)
+    ref = make("conv_fwd", "xla")
+    ref.init(pipe)
+    want = ref.run_fwd({"data": x}, ["blk"])["blk"].data
+    eng = make("conv_fwd", "pallas", fuse_block="1",
+               mesh=parse_lexp("(dp=2,tp=4)"))
+    eng.init(pipe)
+    assert eng._blocks == {}
+    got = eng.run_fwd({"data": x}, ["blk"])["blk"].data
+    scale = max(1e-30, float(np.abs(want).max()))
+    r = comp_vars(want, got, mrd_toler=1e-4, atol=1e-5 * scale)
+    assert r.ok(), str(r)

@@ -81,3 +81,23 @@ def test_kill_and_resume_reproduces_loss_curve(tmp_path, capsys):
     for i in (3, 4, 5):
         assert full[i] == pytest.approx(resumed[i], rel=1e-5), \
             (i, full[i], resumed[i])
+
+
+def test_resume_past_end_keeps_checkpoint(tmp_path, capsys):
+    """--resume with start >= n_steps must NOT rewrite the checkpoint with a
+    smaller step label (that would double-train on the next resume)."""
+    common = [f"--rec-fn={REC}", "--model=mini_resnet", "--img=4"]
+    d = tmp_path / "run"
+    rc = main(["train_lmdb", *common, "--n-steps=4", "--ckpt-fn=ck.npz",
+               f"--boda-output-dir={d}"])
+    assert rc == 0
+    capsys.readouterr()
+    step0, w0, _ = load_checkpoint(str(d / "ck.npz"))
+    assert step0 == 4
+    rc = main(["train_lmdb", *common, "--n-steps=2", "--ckpt-fn=ck.npz",
+               "--resume=1", f"--boda-output-dir={d}"])
+    assert rc == 0
+    assert "nothing to do" in capsys.readouterr().out
+    step1, w1, _ = load_checkpoint(str(d / "ck.npz"))
+    assert step1 == 4
+    assert all(np.array_equal(w0[k], w1[k]) for k in w0)

@@ -182,3 +182,34 @@ def test_master_f32_mixed_precision():
     assert w1[k].dtype == jnp.float32          # masters stay f32
     assert not np.array_equal(np.asarray(w1[k]), np.asarray(w0[k]))
     assert np.isfinite(float(loss))
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint remat ('full' and 'dots') changes memory, not math:
+    loss and updated weights must match the non-remat step exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from boda_tpu.models.zoo import build_mini_resnet
+    from boda_tpu.parallel.train import find_logits_node, make_train_step
+    pipe, in_dims = build_mini_resnet(img=2, num_cls=8, in_sz=8)
+    logits = find_logits_node(pipe)
+    rng = np.random.RandomState(0)
+    x = {"data": rng.randn(*in_dims["data"].shape).astype(np.float32)}
+    labels = np.array([1, 3], dtype=np.int32)
+    w0 = {k: jnp.asarray(w.data) for k, w in pipe.weights.items()}
+    loss0, w_p = jax.jit(make_train_step(pipe, logits, lr=0.1,
+                                         clip_norm=1.0))(w0, x, labels)
+    for mode in ("full", "dots"):
+        step_r = jax.jit(make_train_step(pipe, logits, lr=0.1, clip_norm=1.0,
+                                         remat=mode))
+        loss_r, w_r = step_r(w0, x, labels)
+        assert float(loss_r) == pytest.approx(float(loss0), rel=1e-6)
+        for k in w_p:
+            np.testing.assert_allclose(np.asarray(w_r[k]),
+                                       np.asarray(w_p[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
+    with pytest.raises(ValueError, match="remat must be one of"):
+        make_train_step(pipe, logits, remat="bogus")
