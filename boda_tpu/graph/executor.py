@@ -159,6 +159,7 @@ class FwdEngine:
     # -- compilation ----------------------------------------------------------------
     def build_raw_fn(self, out_names: list[str]) -> Callable:
         """The un-jitted pure net function fn(weights, inputs) -> {name: arr}."""
+        import jax
         import jax.numpy as jnp
         pipe = self.pipe
         topo = pipe.topo_op_order()
@@ -201,7 +202,8 @@ class FwdEngine:
                     bot_vals = [vals[b] for b in op.bots]
                 except KeyError as e:
                     raise PipeError(f"op {op_name!r}: missing input {e}") from None
-                outs = lowered[op_name](*bot_vals)
+                with jax.named_scope(op_name):  # see nhwc engine note
+                    outs = lowered[op_name](*bot_vals)
                 for t, v in zip(op.tops, outs):
                     if t in quant:
                         v = _quantize(v, *quant[t])
@@ -1144,6 +1146,7 @@ class PallasFwd(FwdEngine):
     def build_raw_fn(self, out_names: list[str]) -> Callable:
         if self.layout != "nhwc":
             return super().build_raw_fn(out_names)
+        import jax
         import jax.numpy as jnp
         pipe = self.pipe
         topo = pipe.topo_op_order()
@@ -1292,7 +1295,11 @@ class PallasFwd(FwdEngine):
                 except KeyError as e:
                     raise PipeError(
                         f"op {op_name!r}: missing input {e}") from None
-                outs = lowered[op_name](*bot_vals)
+                # named_scope: op names survive into HLO metadata, so
+                # profiler traces (net_trace) and gen_src dumps attribute
+                # fused regions back to graph ops
+                with jax.named_scope(op_name):
+                    outs = lowered[op_name](*bot_vals)
                 if op_name in fused_now:
                     return [(chain_final_top[op_name], outs[0])]
                 return list(zip(op.tops, outs))

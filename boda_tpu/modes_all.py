@@ -14,6 +14,7 @@ _MODE_MODULES = [
     "boda_tpu.modes.display_modes",
     "boda_tpu.modes.ipc_modes",
     "boda_tpu.modes.lmdb_modes",
+    "boda_tpu.modes.net_trace",
     "boda_tpu.modes.net_tune",
     "boda_tpu.modes.plot_modes",
     "boda_tpu.modes.proc_pipe",

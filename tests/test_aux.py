@@ -85,3 +85,35 @@ def test_net_decomp_mode(capsys):
     times = [float(m) for m in re.findall(r"from \S+\s+([\d.]+) us", out)]
     assert len(times) >= 3 and all(t > 0 for t in times)
     assert "tail after" in out
+
+
+def test_net_trace_mode(capsys, tmp_path):
+    """net_trace dumps a jax.profiler device trace with >=1 trace file."""
+    import glob
+    import os
+    rc = main(["net_trace", "--model=mini_resnet", "--img=2", "--n-iters=2",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "trace files under trace/" in out
+    files = [f for f in glob.glob(str(tmp_path / "trace" / "**" / "*"),
+                                  recursive=True) if os.path.isfile(f)]
+    assert files, "no trace files written"
+
+
+def test_named_scopes_in_lowering():
+    """per-op jax.named_scope: graph op names appear in the lowered program's
+    location metadata (what attributes profiler traces back to ops)."""
+    import jax
+    import numpy as np
+
+    from boda_tpu.config import make
+    from boda_tpu.models.zoo import build_mini_resnet
+    pipe, in_dims = build_mini_resnet(img=2, num_cls=8, in_sz=8)
+    eng = make("conv_fwd", "pallas")
+    eng.init(pipe)
+    raw = eng.build_raw_fn(["prob"])
+    x = {"data": np.zeros(in_dims["data"].shape, np.float32)}
+    txt = jax.jit(raw).lower(dict(eng._weights_dev), x).as_text(
+        debug_info=True)
+    assert 'loc("jit(net_fn)/s2b0_sc/' in txt
