@@ -92,10 +92,13 @@ def test_net_trace_mode(capsys, tmp_path):
     import glob
     import os
     rc = main(["net_trace", "--model=mini_resnet", "--img=2", "--n-iters=2",
-               f"--boda-output-dir={tmp_path}"])
+               "--per-op=1", f"--boda-output-dir={tmp_path}"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "trace files under trace/" in out
+    # in-net per-op attribution: conv ops appear with us/fwd figures
+    assert "per-op device time" in out
+    assert "conv1" in out and "us/fwd" in out
     files = [f for f in glob.glob(str(tmp_path / "trace" / "**" / "*"),
                                   recursive=True) if os.path.isfile(f)]
     assert files, "no trace files written"
