@@ -7,11 +7,14 @@ pipelines (``type_id="pipe"``). Implemented fresh: file/csv/text/image
 sources, start-stop-skip, stamp, crop, merge/ts-sync transforms, csv/text/
 block-file/png/null sinks, and a compact binary block-stream container.
 
-Format-specific streams the reference vendors: velodyne packet decode
-(stream/velodyne.py), pcap src/sink (ref data-stream-pcap.cc), mxnet-brick
-RecordIO src/sink (ref data-stream-mxnet.cc), rosbag v2.0 (stream/rosbag.py)
-and MJPEG-in-AVI video (stream/avi.py) are implemented pure-python; only
-general-codec ffmpeg remains a feature-gated error (no codecs in this build).
+Format-specific streams the reference vendors: velodyne packet decode +
+synthesis (stream/velodyne.py, velodyne-gen), pcap src/sink (ref
+data-stream-pcap.cc), mxnet-brick RecordIO src/sink + hash-pair/hash-check
+(ref data-stream-mxnet.cc), rosbag v2.0 (stream/rosbag.py), MJPEG-in-AVI
+video (stream/avi.py), dumpvideo / qt framed streams and img-add-text
+annotation (ref data-stream.cc:168-242, data-stream-img-util.cc) are
+implemented pure-python; only general-codec ffmpeg remains a feature-gated
+error (no codecs in this build).
 """
 
 from __future__ import annotations
@@ -1058,3 +1061,251 @@ class RosbagSrc(DataStream):
                 blk.data = m.raw
             return blk
         return None
+
+
+# -- remaining reference stream formats / checks ----------------------------------
+
+@register("data_stream", "dumpvideo-src",
+          help="length-prefixed camera dumpvideo stream (u32-size frames)")
+class DumpvideoSrc(DataStream):
+    """ref data_stream_dumpvideo_t (data-stream.cc:242): [u32 size][payload]
+    repeated; a u32 0xFFFFFFFF marks end-of-stream. Payloads are camera
+    frames (typically jpeg) left as raw bytes, tag 'camera-dumpvideo'."""
+    fn = Field("filename", req=True, help="dumpvideo file")
+
+    def start(self) -> None:
+        self._f = open(self.fn, "rb")
+        self._ix = 0
+
+    def read(self):
+        hdr = self._f.read(4)
+        if len(hdr) < 4:
+            return None
+        (sz,) = struct.unpack("<I", hdr)
+        if sz == 0xFFFFFFFF:  # explicit end marker
+            return None
+        b = DataBlock(ts=self._ix, tag="camera-dumpvideo",
+                      data=self._f.read(sz), frame_ix=self._ix)
+        self._ix += 1
+        return b
+
+
+@register("data_stream", "qt-src",
+          help="qt-style serialized stream ([u64 ts_ns][u32 size][payload])")
+class QtSrc(DataStream):
+    """ref data_stream_qt_t (data-stream.cc:168): fixed framing of
+    [u64 timestamp_ns][u32 payload size][payload]."""
+    fn = Field("filename", req=True, help="qt stream file")
+
+    def start(self) -> None:
+        self._f = open(self.fn, "rb")
+        self._ix = 0
+
+    def read(self):
+        hdr = self._f.read(12)
+        if len(hdr) < 12:
+            return None
+        ts, sz = struct.unpack("<QI", hdr)
+        payload = self._f.read(sz)
+        if len(payload) < sz:
+            raise ConfigError("qt stream: read timestamp, but not enough "
+                              "data left to read payload")
+        b = DataBlock(ts=ts, tag="qt", data=payload, frame_ix=self._ix)
+        self._ix += 1
+        return b
+
+
+@register("data_stream", "text-sink", help="blocks as hex text, one per line")
+class TextSink(DataStream):
+    """ref data_sink_text_t (data-stream.cc:313): hex of each block's raw
+    bytes, one line per block, no header."""
+    fn = Field("filename", req=True, help="output text file")
+
+    def start(self) -> None:
+        self._f = open(_out_path(self.fn), "w")
+
+    def proc(self, blk):
+        raw = blk.data if blk.data is not None else (
+            np.ascontiguousarray(blk.nda.data).tobytes()
+            if blk.nda is not None else None)
+        if raw is None:
+            raise ConfigError("text-sink: expected data block to have data")
+        self._f.write(raw.hex().upper() + "\n")
+        return None
+
+    def finish(self) -> None:
+        self._f.close()
+
+
+def _block_hash64(raw: bytes) -> int:
+    from ..utils.dims import stable_hash
+    return stable_hash(raw.hex()) & 0xFFFFFFFFFFFFFFFF
+
+
+@register("data_stream", "hash-pair",
+          help="emit each block followed by its 8-byte hash block")
+class HashPair(DataStream):
+    """Producer side of the hash-check pairing (the reference's pairs come
+    from its mxnet dump tooling, data-stream-mxnet.cc): after every payload
+    block, emit an 8-byte little-endian hash-of-payload block."""
+    src = Field("data_stream", req=True, help="upstream source")
+
+    def start(self) -> None:
+        self.src.start()
+        self._pend = None
+
+    def read(self):
+        if self._pend is not None:
+            h, self._pend = self._pend, None
+            return h
+        b = self.src.read()
+        if b is None:
+            return None
+        raw = b.data if b.data is not None else \
+            np.ascontiguousarray(b.nda.data).tobytes()
+        self._pend = DataBlock(ts=b.ts, tag="hash",
+                               data=struct.pack("<Q", _block_hash64(raw)))
+        return b
+
+
+@register("data_stream", "hash-check",
+          help="verify alternating block / hash-block pairs")
+class HashCheck(DataStream):
+    """ref data_sink_hash_check_t (data-stream-mxnet.cc:220): stream must be
+    (payload, hash) pairs; raises on mismatch, odd pairing, or bad sizes."""
+
+    def start(self) -> None:
+        self.tot_num_read = 0
+        self._hash = None
+
+    def proc(self, blk):
+        raw = blk.data if blk.data is not None else \
+            np.ascontiguousarray(blk.nda.data).tobytes()
+        if not (self.tot_num_read & 1):
+            self._hash = _block_hash64(raw)
+        else:
+            if len(raw) != 8:
+                raise ConfigError(
+                    f"expected hash-only block at tot_num_read="
+                    f"{self.tot_num_read}, but block size was {len(raw)}")
+            (fs_hash,) = struct.unpack("<Q", raw)
+            if fs_hash != self._hash:
+                raise ConfigError(
+                    f"block hash compare failure: fs_block_hash={fs_hash} "
+                    f"block_hash={self._hash}")
+        self.tot_num_read += 1
+        return blk
+
+    def finish(self) -> None:
+        if self.tot_num_read & 1:
+            raise ConfigError("hash-check: odd number of blocks "
+                              "(final payload lost its hash block)")
+
+
+@register("data_stream", "img-add-text",
+          help="draw text onto image blocks (in place)")
+class ImgAddText(DataStream):
+    """ref data_stream_img_add_text_t (data-stream-img-util.cc:12); PIL's
+    default bitmap font plays the ttf font-renderer role."""
+    text_x = Field(int, default="0", help="text x position")
+    text_y = Field(int, default="0", help="text y position")
+    text_str = Field(str, default="", help="text to draw")
+    prefix_with_tag = Field(bool, default="0", help="prefix text with block tag")
+
+    def proc(self, blk):
+        if blk.nda is None or blk.nda.data.ndim != 3:
+            raise ConfigError("img-add-text: expected an image block")
+        from PIL import Image, ImageDraw
+        txt = (blk.tag if self.prefix_with_tag else "") + self.text_str
+        arr = np.ascontiguousarray(blk.nda.data)
+        im = Image.fromarray(arr[..., :3] if arr.shape[2] >= 3 else arr[..., 0])
+        ImageDraw.Draw(im).text((self.text_x, self.text_y), txt,
+                                fill=(255, 255, 0))
+        out = np.asarray(im)
+        if arr.shape[2] == 4:
+            out = np.concatenate([out, arr[..., 3:]], axis=2)
+        blk.nda = NDA(blk.nda.dims, np.ascontiguousarray(out))
+        return blk
+
+
+@register("data_stream", "velodyne-gen",
+          help="dense (laser,azi) distance ndas -> velodyne udp packets")
+class VelodyneGen(DataStream):
+    """ref data_stream_velodyne_gen_t (data-stream-velo.cc:706): the inverse
+    of velo-src — converts dense point-cloud blocks (nda [32 lasers, n_azi]
+    of distances in meters, optional 'refl' sub-block) into standard
+    12-firing-block 1206-byte packet payloads. Azimuth advances azi_step
+    degrees per firing block from fov_center - span/2; per-packet gps
+    timestamps step by timestamp_step microseconds."""
+    src = Field("data_stream", req=True, help="upstream dense-cloud source")
+    azi_step = Field(float, default="0.165", help="degrees per firing block")
+    fov_center = Field(float, default="0.0", help="FoV center in degrees")
+    timestamp_step = Field(int, default="553", help="per-packet ts step (us)")
+    timestamp_start = Field(int, default="0", help="first packet ts (us)")
+
+    def start(self) -> None:
+        if not (0.0 <= self.fov_center < 360.0):
+            raise ConfigError(f"fov_center must be in [0.0,360.0) but was "
+                              f"{self.fov_center}")
+        self.src.start()
+        self._pkts: list[bytes] = []
+        self._ts = self.timestamp_start
+        self._ix = 0
+
+    def _gen_packets(self, blk: DataBlock) -> None:
+        from .velodyne import _BLOCKS, encode_packet
+        d = blk.nda.data
+        if d.ndim != 2 or d.shape[0] != 32:
+            raise ConfigError("velodyne-gen: expected a (32, n_azi) dense "
+                              f"distance nda, got {d.shape}")
+        refl = blk.subs["refl"].nda.data if "refl" in blk.subs else \
+            np.zeros_like(d, np.uint8)
+        n_azi = d.shape[1]
+        span = n_azi * self.azi_step
+        azi0 = (self.fov_center - span / 2.0) % 360.0
+        for p0 in range(0, n_azi, _BLOCKS):
+            cols = min(_BLOCKS, n_azi - p0)
+            az = np.array([(azi0 + (p0 + i) * self.azi_step) % 360.0
+                           for i in range(_BLOCKS)], np.float32)
+            dist = np.zeros((_BLOCKS, 32), np.float32)
+            rf = np.zeros((_BLOCKS, 32), np.uint8)
+            dist[:cols] = d[:, p0:p0 + cols].T
+            rf[:cols] = refl[:, p0:p0 + cols].T
+            self._pkts.append(encode_packet(az, dist, rf, ts_usec=self._ts))
+            self._ts += self.timestamp_step
+
+    def read(self):
+        while not self._pkts:
+            b = self.src.read()
+            if b is None:
+                return None
+            if b.nda is None:
+                raise ConfigError("velodyne-gen: input block has no nda")
+            self._gen_packets(b)
+        pkt = self._pkts.pop(0)
+        out = DataBlock(ts=self._ix, tag="velodyne", data=pkt,
+                        frame_ix=self._ix)
+        self._ix += 1
+        return out
+
+
+@register("data_stream", "velo-cloud-gen",
+          help="deterministic dense (32,n_azi) distance clouds (for tests)")
+class VeloCloudGen(DataStream):
+    n = Field(int, default="1", help="number of cloud blocks")
+    n_azi = Field(int, default="24", help="azimuth steps per cloud")
+
+    def start(self) -> None:
+        self._ix = 0
+
+    def read(self):
+        if self._ix >= self.n:
+            return None
+        lz = np.arange(32, dtype=np.float32)[:, None]
+        az = np.arange(self.n_azi, dtype=np.float32)[None, :]
+        dense = 1.0 + 0.25 * lz + 0.125 * az + self._ix  # meters, all distinct
+        b = DataBlock(ts=self._ix, tag="cloud",
+                      nda=NDA.from_array(dense, ("laser", "azi")),
+                      frame_ix=self._ix)
+        self._ix += 1
+        return b

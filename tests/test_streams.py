@@ -589,3 +589,117 @@ def test_avi_errors(tmp_path):
     bad.write_bytes(b"RIFX" + b"\x00" * 16)
     with pytest.raises(AviError, match="not a RIFF/AVI"):
         list(read_avi_mjpeg(str(bad)))
+
+
+def test_dumpvideo_and_qt_src(tmp_path):
+    import struct
+    dv = tmp_path / "cam.dumpvideo"
+    dv.write_bytes(struct.pack("<I", 3) + b"abc" +
+                   struct.pack("<I", 2) + b"xy" +
+                   struct.pack("<I", 0xFFFFFFFF) +  # end marker
+                   struct.pack("<I", 1) + b"z")     # ignored past marker
+    blocks = _drain(_mk(f"(stream=dumpvideo-src,fn={dv})"))
+    assert [b.data for b in blocks] == [b"abc", b"xy"]
+    assert blocks[0].tag == "camera-dumpvideo"
+
+    qt = tmp_path / "s.qt"
+    qt.write_bytes(struct.pack("<QI", 111, 3) + b"abc" +
+                   struct.pack("<QI", 222, 0))
+    blocks = _drain(_mk(f"(stream=qt-src,fn={qt})"))
+    assert [(b.ts, b.data) for b in blocks] == [(111, b"abc"), (222, b"")]
+    # truncated payload is an error
+    qt2 = tmp_path / "bad.qt"
+    qt2.write_bytes(struct.pack("<QI", 1, 9) + b"ab")
+    from boda_tpu.config import ConfigError
+    src = _mk(f"(stream=qt-src,fn={qt2})")
+    with pytest.raises(ConfigError, match="not enough"):
+        src.read()
+
+
+def test_hash_pair_roundtrip_and_mismatch(tmp_path):
+    import struct
+    pairs = _drain(_mk("(stream=hash-pair,src=(stream=gen-src,n=3))"))
+    assert len(pairs) == 6 and pairs[1].tag == "hash"
+    chk = _mk("(stream=hash-check)")
+    for b in pairs:
+        chk.proc(b)
+    chk.finish()
+    assert chk.tot_num_read == 6
+    # corrupt a payload -> mismatch on its hash block
+    from boda_tpu.config import ConfigError
+    chk2 = _mk("(stream=hash-check)")
+    bad = DataBlock(ts=0, tag="x", data=b"corrupted")
+    chk2.proc(bad)
+    with pytest.raises(ConfigError, match="hash compare failure"):
+        chk2.proc(pairs[1])
+    # odd stream -> finish() raises
+    chk3 = _mk("(stream=hash-check)")
+    chk3.proc(pairs[0])
+    with pytest.raises(ConfigError, match="odd number"):
+        chk3.finish()
+
+
+def test_text_sink_hex_lines(tmp_path, monkeypatch):
+    from boda_tpu.config import _ENV
+    monkeypatch.setitem(_ENV, "boda_output_dir", str(tmp_path))
+    snk = _mk(f"(stream=text-sink,fn=out.txt)")
+    snk.proc(DataBlock(ts=0, tag="a", data=b"\x01\xff"))
+    snk.proc(DataBlock(ts=1, tag="b", data=b"hi"))
+    snk.finish()
+    assert (tmp_path / "out.txt").read_text() == "01FF\n6869\n"
+
+
+def test_img_add_text():
+    img = np.zeros((16, 32, 4), np.uint8)
+    img[..., 3] = 255
+    blk = DataBlock(ts=0, tag="f0",
+                    nda=NDA.from_array(img, ("y", "x", "c")))
+    t = _mk("(stream=img-add-text,text_str=Hi,text_x=1,text_y=1)")
+    out = t.proc(blk)
+    d = out.nda.data
+    assert d.shape == (16, 32, 4)
+    assert d[..., :3].max() > 0          # some text pixels got drawn
+    assert (d[..., 3] == 255).all()      # alpha preserved
+
+
+def test_velodyne_gen_roundtrip():
+    """velodyne-gen is the inverse of the packet parser: dense distances ->
+    packets -> decode reproduces azimuths/distances/reflectivity."""
+    rng = np.random.RandomState(0)
+    n_azi = 24  # 2 packets
+    dense = (rng.rand(32, n_azi).astype(np.float32) * 50).round(2)
+    dense = np.maximum(dense, 0.01)
+    refl = rng.randint(0, 255, size=(32, n_azi)).astype(np.uint8)
+    blk = DataBlock(ts=0, tag="cloud",
+                    nda=NDA.from_array(dense, ("laser", "azi")))
+    blk.subs["refl"] = DataBlock(ts=0, tag="refl",
+                                 nda=NDA.from_array(refl, ("laser", "azi")))
+
+    class OneShot:
+        def start(self):
+            self._done = False
+
+        def read(self):
+            if self._done:
+                return None
+            self._done = True
+            return blk
+
+    gen = instantiate("data_stream", parse_lexp(
+        "(stream=velodyne-gen,src=(stream=gen-src),azi_step=0.5,"
+        "fov_center=180.0,timestamp_step=100,timestamp_start=7)"))
+    gen.src = OneShot()
+    gen.start()
+    pkts = _drain(gen)
+    assert len(pkts) == 2
+    assert all(len(p.data) == PACKET_BYTES for p in pkts)
+    span = n_azi * 0.5
+    azi0 = (180.0 - span / 2.0) % 360.0
+    for pi, p in enumerate(pkts):
+        az, dist, rf, ts = decode_packet(p.data)
+        assert ts == 7 + 100 * pi
+        for b in range(12):
+            col = pi * 12 + b
+            assert az[b] == pytest.approx((azi0 + col * 0.5) % 360.0, abs=0.01)
+            np.testing.assert_allclose(dist[b], dense[:, col], atol=0.002)
+            assert (rf[b] == refl[:, col]).all()
