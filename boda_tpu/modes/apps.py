@@ -404,6 +404,53 @@ class Score(Mode):
                         f.write(f"{r.cls} {rec:.6f} {prec:.6f}\n")
 
 
+@register("mode", "score_files",
+          help="score per-class VOC-format results files; write a summary")
+class ScoreFiles(Mode):
+    """ref score_results_files_t (results_io.cc:470): per-class DPM-style
+    results files — ``img_id score x0 y0 x1 y1`` per line, one file per
+    class via a %s filename template — scored against a gt file, with an
+    all-classes summary written to summary_fn."""
+    res_fn = Field(str, req=True,
+                   help="results filename template; %s -> class name")
+    classes = Field((list, str), req=True, help="class names to score")
+    gt_fn = Field("filename", req=True, help="ground-truth file")
+    iou = Field(float, default="0.5", help="IoU match threshold")
+    use_07_metric = Field(bool, default="0", help="11-point VOC07 AP")
+    summary_fn = Field(str, default="summary.txt",
+                       help="output: all-classes text summary")
+
+    def main(self) -> None:
+        from ..apps.scoring import Box, Det, load_gt_file, score_all
+        dets = {}
+        for cls in self.classes:
+            fn = self.res_fn % cls if "%s" in self.res_fn else self.res_fn
+            cds = []
+            with open(fn) as f:
+                for ln, line in enumerate(f, 1):
+                    parts = line.split()
+                    if not parts or line.startswith("#"):
+                        continue
+                    if len(parts) != 6:
+                        raise ConfigError(
+                            f"{fn}:{ln}: want 6 fields "
+                            "(img_id score x0 y0 x1 y1), got "
+                            f"{len(parts)}")
+                    img_id, score = parts[0], float(parts[1])
+                    cds.append(Det(img_id, score,
+                                   Box(*(float(v) for v in parts[2:6]))))
+            dets[cls] = cds
+        gt = load_gt_file(self.gt_fn)
+        results, mAP = score_all(dets, gt, self.iou, self.use_07_metric)
+        lines = [f"class {r.cls:<16} AP={r.ap:.4f} n_gt={r.n_gt} "
+                 f"n_det={r.n_det}" for r in results]
+        lines.append(f"mAP={mAP:.4f} over {len(results)} classes")
+        txt = "\n".join(lines) + "\n"
+        print(txt, end="")
+        with open(self.out_path(self.summary_fn), "w") as f:
+            f.write(txt)
+
+
 @register("mode", "load_pil", help="load a PASCAL image list + annotations; dump stats")
 class LoadPil(Mode):
     ann_dir = Field("filename", req=True, help="dir of VOC annotation XMLs")

@@ -213,3 +213,33 @@ def test_predict_dense_mode(tmp_path, capsys):
     assert "fc_to_conv converted ['fc']" in out and "scale 0" in out
     import os
     assert any(f.startswith("hm_") for f in os.listdir(tmp_path))
+
+
+def test_score_files_mode(tmp_path, capsys):
+    """score_files: per-class VOC results files + all-classes summary
+    (ref results_io.cc:470 score_results_files_t)."""
+    (tmp_path / "cat_test.txt").write_text(
+        "im0 0.9 10 10 50 50\nim1 0.3 0 0 20 20\n")
+    (tmp_path / "dog_test.txt").write_text("im0 0.8 60 60 90 90\n")
+    gt = tmp_path / "gt.txt"
+    gt.write_text("im0 cat 10 10 50 50\nim0 dog 60 60 90 90\n"
+                  "im1 cat 100 100 120 120\n")
+    rc = main(["score_files", f"--res-fn={tmp_path}/%s_test.txt",
+               "--classes=(a=cat,b=dog)", f"--gt-fn={gt}",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "class cat" in out and "class dog" in out
+    assert "mAP=0.75" in out  # cat AP=0.5 (1 of 2 gt found), dog AP=1.0
+    assert (tmp_path / "summary.txt").read_text().strip().endswith(
+        "mAP=0.7500 over 2 classes")
+
+
+def test_compsup_mode(capsys):
+    rc = main(["compsup"])
+    assert rc == 0
+    modes = capsys.readouterr().out.split()
+    assert "run_cnet" in modes and "score_files" in modes
+    rc = main(["compsup", "--arg=noop"])
+    assert rc == 0
+    assert "--msg=" in capsys.readouterr().out
