@@ -653,12 +653,17 @@ class PallasFwd(FwdEngine):
                                                    out_names)
             raise PipeError("pallas engine shards dp only with generated "
                             "kernels; use kernel_policy=lib or mode=xla for tp")
+        import inspect
         try:
-            from jax import shard_map  # jax >= 0.8 (check_rep -> check_vma)
-            rep_kw = {"check_vma": False}
+            from jax import shard_map  # jax >= 0.8
         except ImportError:
             from jax.experimental.shard_map import shard_map
-            rep_kw = {"check_rep": False}
+        # the replication-check kwarg was renamed check_rep -> check_vma;
+        # key off the actual signature, not the import location (jax ~0.6
+        # exports jax.shard_map still taking check_rep)
+        params = inspect.signature(shard_map).parameters
+        rep_kw = {"check_vma": False} if "check_vma" in params \
+            else {"check_rep": False}
         w_specs = {k: P() for k in self.pipe.weights}
         in_specs = {n: P("dp") for n in in_names}
         out_specs = {n: P("dp") for n in out_names}

@@ -424,12 +424,12 @@ class ScoreFiles(Mode):
         from ..apps.scoring import Box, Det, load_gt_file, score_all
         dets = {}
         for cls in self.classes:
-            fn = self.res_fn % cls if "%s" in self.res_fn else self.res_fn
+            fn = self.res_fn.replace("%s", cls)
             cds = []
             with open(fn) as f:
                 for ln, line in enumerate(f, 1):
                     parts = line.split()
-                    if not parts or line.startswith("#"):
+                    if not parts or parts[0].startswith("#"):
                         continue
                     if len(parts) != 6:
                         raise ConfigError(
@@ -440,7 +440,11 @@ class ScoreFiles(Mode):
                     cds.append(Det(img_id, score,
                                    Box(*(float(v) for v in parts[2:6]))))
             dets[cls] = cds
+        # score exactly the requested classes: gt classes outside the set
+        # must not add AP=0 rows, and requested classes with no gt still
+        # get a row (AP=0 unless they truly have no dets either)
         gt = load_gt_file(self.gt_fn)
+        gt = {c: gt.get(c, {}) for c in self.classes}
         results, mAP = score_all(dets, gt, self.iou, self.use_07_metric)
         lines = [f"class {r.cls:<16} AP={r.ap:.4f} n_gt={r.n_gt} "
                  f"n_det={r.n_det}" for r in results]

@@ -116,7 +116,10 @@ class NetTrace(Mode):
     def main(self) -> None:
         import jax
 
+        from ..config import ConfigError
         from ..ops.kernels.gen_data import gen_data_pattern
+        if self.n_iters < 1:
+            raise ConfigError("net_trace: n_iters must be >= 1")
         pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img,
                                  self.in_sz)
         eng = self.conv_fwd

@@ -136,9 +136,7 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
         if remat not in policies:
             raise ValueError(f"remat must be one of {sorted(policies)} "
                              f"or '', not {remat!r}")
-        pol = policies[remat]
-        net_fn = jax.checkpoint(net_fn, policy=pol) if pol is not None \
-            else jax.checkpoint(net_fn)
+        net_fn = jax.checkpoint(net_fn, policy=policies[remat])
 
     def loss_fn(train_w, frozen_w, inputs, labels):
         res = net_fn({**train_w, **frozen_w}, inputs)

@@ -1084,8 +1084,12 @@ class DumpvideoSrc(DataStream):
         (sz,) = struct.unpack("<I", hdr)
         if sz == 0xFFFFFFFF:  # explicit end marker
             return None
+        payload = self._f.read(sz)
+        if len(payload) < sz:
+            raise ConfigError(f"dumpvideo stream: frame header says {sz} "
+                              f"bytes but only {len(payload)} remain")
         b = DataBlock(ts=self._ix, tag="camera-dumpvideo",
-                      data=self._f.read(sz), frame_ix=self._ix)
+                      data=payload, frame_ix=self._ix)
         self._ix += 1
         return b
 
@@ -1138,8 +1142,9 @@ class TextSink(DataStream):
 
 
 def _block_hash64(raw: bytes) -> int:
-    from ..utils.dims import stable_hash
-    return stable_hash(raw.hex()) & 0xFFFFFFFFFFFFFFFF
+    import hashlib
+    return int.from_bytes(hashlib.blake2b(raw, digest_size=8).digest(),
+                          "little")
 
 
 @register("data_stream", "hash-pair",
@@ -1218,12 +1223,17 @@ class ImgAddText(DataStream):
         from PIL import Image, ImageDraw
         txt = (blk.tag if self.prefix_with_tag else "") + self.text_str
         arr = np.ascontiguousarray(blk.nda.data)
-        im = Image.fromarray(arr[..., :3] if arr.shape[2] >= 3 else arr[..., 0])
-        ImageDraw.Draw(im).text((self.text_x, self.text_y), txt,
-                                fill=(255, 255, 0))
-        out = np.asarray(im)
-        if arr.shape[2] == 4:
-            out = np.concatenate([out, arr[..., 3:]], axis=2)
+        if arr.shape[2] >= 3:
+            im = Image.fromarray(arr[..., :3])
+            ImageDraw.Draw(im).text((self.text_x, self.text_y), txt,
+                                    fill=(255, 255, 0))
+            out = np.asarray(im)
+            if arr.shape[2] == 4:
+                out = np.concatenate([out, arr[..., 3:]], axis=2)
+        else:  # grayscale: scalar fill, rank preserved
+            im = Image.fromarray(arr[..., 0])
+            ImageDraw.Draw(im).text((self.text_x, self.text_y), txt, fill=255)
+            out = np.asarray(im)[..., None]
         blk.nda = NDA(blk.nda.dims, np.ascontiguousarray(out))
         return blk
 
@@ -1258,6 +1268,10 @@ class VelodyneGen(DataStream):
         if d.ndim != 2 or d.shape[0] != 32:
             raise ConfigError("velodyne-gen: expected a (32, n_azi) dense "
                               f"distance nda, got {d.shape}")
+        if float(d.min()) < 0 or float(d.max()) > 0xFFFF * 0.002:
+            raise ConfigError(
+                "velodyne-gen: distances must be in [0, 131.07] m (u16 "
+                f"2mm ticks), got [{float(d.min()):g}, {float(d.max()):g}]")
         refl = blk.subs["refl"].nda.data if "refl" in blk.subs else \
             np.zeros_like(d, np.uint8)
         n_azi = d.shape[1]

@@ -233,6 +233,13 @@ def test_score_files_mode(tmp_path, capsys):
     assert "mAP=0.75" in out  # cat AP=0.5 (1 of 2 gt found), dog AP=1.0
     assert (tmp_path / "summary.txt").read_text().strip().endswith(
         "mAP=0.7500 over 2 classes")
+    # classes filter: gt classes outside the requested set add no rows
+    rc = main(["score_files", f"--res-fn={tmp_path}/%s_test.txt",
+               "--classes=(a=cat)", f"--gt-fn={gt}",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dog" not in out and "mAP=0.5000 over 1 classes" in out
 
 
 def test_compsup_mode(capsys):
