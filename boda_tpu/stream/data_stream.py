@@ -1323,3 +1323,45 @@ class VeloCloudGen(DataStream):
                       frame_ix=self._ix)
         self._ix += 1
         return b
+
+
+@register("data_stream", "rosbag-sink",
+          help="write image / point blocks to a rosbag v2.0 file")
+class RosbagSink(DataStream):
+    """Write side of stream/rosbag.py (ref data-stream-rosbag.cc): image
+    blocks ((y,x,3|4) uint8 ndas) become sensor_msgs/Image, (pt,attr)
+    float32 point blocks become sensor_msgs/PointCloud2, raw-bytes blocks
+    pass through verbatim under raw_dtype. Round-trips with rosbag-src."""
+    fn = Field("filename", req=True, help="output .bag file")
+    # a ROS topic carries ONE message type: blocks are routed to per-kind
+    # topics under this prefix (<prefix>/image, /points, /raw)
+    topic = Field(str, default="/boda", help="topic prefix")
+    compression = Field(str, default="none", help="chunk compression: none | bz2")
+    raw_dtype = Field(str, default="boda_tpu/bytes",
+                      help="message type recorded for raw-bytes blocks")
+
+    def start(self) -> None:
+        self._msgs: list[tuple] = []
+
+    def proc(self, blk):
+        from .rosbag import ser_image, ser_pointcloud2
+        d = blk.nda.data if blk.nda is not None else None
+        if d is not None and d.ndim == 3 and d.dtype == np.uint8 \
+                and d.shape[2] in (3, 4):
+            raw = ser_image(d[..., :3], ts=blk.ts)
+            dtype, sub = "sensor_msgs/Image", "image"
+        elif d is not None and d.ndim == 2 and d.dtype == np.float32:
+            raw = ser_pointcloud2(d, ts=blk.ts)
+            dtype, sub = "sensor_msgs/PointCloud2", "points"
+        elif blk.data is not None:
+            raw, dtype, sub = blk.data, self.raw_dtype, "raw"
+        else:
+            raise ConfigError("rosbag-sink: block has neither a writable "
+                              "nda (u8 image / f32 points) nor raw bytes")
+        self._msgs.append((f"{self.topic}/{sub}", dtype, blk.ts, raw))
+        return None
+
+    def finish(self) -> None:
+        from .rosbag import write_bag
+        write_bag(_out_path(self.fn), self._msgs,
+                  compression=self.compression)

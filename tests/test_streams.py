@@ -703,3 +703,24 @@ def test_velodyne_gen_roundtrip():
             assert az[b] == pytest.approx((azi0 + col * 0.5) % 360.0, abs=0.01)
             np.testing.assert_allclose(dist[b], dense[:, col], atol=0.002)
             assert (rf[b] == refl[:, col]).all()
+
+
+def test_rosbag_sink_roundtrip(tmp_path, monkeypatch):
+    """rosbag-sink -> rosbag-src round trip for image and point blocks."""
+    from boda_tpu.config import _ENV
+    monkeypatch.setitem(_ENV, "boda_output_dir", str(tmp_path))
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, size=(8, 12, 3)).astype(np.uint8)
+    pts = rng.rand(20, 4).astype(np.float32)
+    snk = _mk("(stream=rosbag-sink,fn=rt.bag,topic=/t)")
+    snk.proc(DataBlock(ts=5, tag="img",
+                       nda=NDA.from_array(img, ("y", "x", "c"))))
+    snk.proc(DataBlock(ts=9, tag="pts",
+                       nda=NDA.from_array(pts, ("pt", "attr"))))
+    snk.finish()
+    imgs = _drain(_mk(f"(stream=rosbag-src,fn={tmp_path}/rt.bag,topic=/t/image)"))
+    assert len(imgs) == 1 and imgs[0].ts == 5
+    assert np.array_equal(imgs[0].nda.data[..., :3], img)
+    ptss = _drain(_mk(f"(stream=rosbag-src,fn={tmp_path}/rt.bag,topic=/t/points)"))
+    assert len(ptss) == 1 and ptss[0].ts == 9
+    np.testing.assert_allclose(ptss[0].nda.data, pts, rtol=1e-6)
