@@ -1365,3 +1365,68 @@ class RosbagSink(DataStream):
         from .rosbag import write_bag
         write_bag(_out_path(self.fn), self._msgs,
                   compression=self.compression)
+
+
+@register("data_stream", "velo-rev",
+          help="merge velodyne packet blocks into per-revolution point blocks")
+class VeloRev(DataStream):
+    """ref data_stream_velodyne_t (data-stream-velo.cc:103, type_id
+    'velodyne'): accumulate raw packets and emit ONE merged (N,4) point
+    block per full revolution — frames split where the azimuth crosses
+    fov_center + 180 degrees. Upstream is any source of raw 1206-byte
+    packet blocks (velo-src file framing, velodyne-gen, pcap payloads)."""
+    src = Field("data_stream", req=True, help="upstream raw-packet source")
+    fov_center = Field(float, default="0.0", help="FoV center in degrees")
+
+    def start(self) -> None:
+        self.src.start()
+        self._pts: list[np.ndarray] = []
+        self._last_rel = None
+        self._rev_ix = 0
+        self._ts0 = None
+        self._done = False
+
+    def _split_rel(self, az_deg: float) -> float:
+        return (az_deg - (self.fov_center + 180.0)) % 360.0
+
+    def _emit(self):
+        pts = np.concatenate(self._pts, axis=0) if self._pts else \
+            np.zeros((0, 4), np.float32)
+        b = DataBlock(ts=self._ts0 or 0, tag=f"rev_{self._rev_ix}",
+                      nda=NDA.from_array(pts, ("pt", "attr")),
+                      frame_ix=self._rev_ix)
+        self._pts, self._ts0 = [], None
+        self._rev_ix += 1
+        self._last_rel = None
+        return b
+
+    def read(self):
+        from .velodyne import decode_packet, packet_to_points_vlp16
+        while not self._done:
+            blk = self.src.read()
+            if blk is None:
+                self._done = True
+                break
+            if blk.data is None:
+                raise ConfigError("velo-rev: expected raw packet blocks")
+            az, _dist, _refl, ts_us = decode_packet(blk.data)
+            if self._ts0 is None:
+                self._ts0 = int(ts_us) * 1000
+            # revolution boundary: azimuth (relative to the split angle)
+            # wraps downward between consecutive firing blocks
+            out = None
+            rel = [self._split_rel(float(a)) for a in az]
+            boundary = self._last_rel is not None and \
+                rel[0] < self._last_rel
+            boundary = boundary or any(rel[i + 1] < rel[i]
+                                       for i in range(len(rel) - 1))
+            if boundary and self._pts:
+                out = self._emit()
+                self._ts0 = int(ts_us) * 1000
+            self._pts.append(packet_to_points_vlp16(blk.data))
+            self._last_rel = rel[-1]
+            if out is not None:
+                return out
+        if self._pts:  # final partial revolution
+            return self._emit()
+        return None

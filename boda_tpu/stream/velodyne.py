@@ -62,6 +62,7 @@ def packet_to_points_vlp16(pkt: bytes) -> np.ndarray:
     elev = np.deg2rad(np.array(VLP16_ELEV, np.float32))
     for b in range(_BLOCKS):
         a = math.radians(az[b])
+        sin_a, cos_a = np.float32(math.sin(a)), np.float32(math.cos(a))
         for half in range(2):
             d = dist[b, half * 16:(half + 1) * 16]
             r = refl[b, half * 16:(half + 1) * 16]
@@ -71,7 +72,7 @@ def packet_to_points_vlp16(pkt: bytes) -> np.ndarray:
             dm = d[mask]
             el = elev[mask]
             xy = dm * np.cos(el)
-            pts.append(np.stack([xy * np.sin(a), xy * np.cos(a),
+            pts.append(np.stack([xy * sin_a, xy * cos_a,
                                  dm * np.sin(el),
                                  r[mask].astype(np.float32)], axis=1))
     return np.concatenate(pts, axis=0) if pts else np.zeros((0, 4), np.float32)

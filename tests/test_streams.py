@@ -724,3 +724,25 @@ def test_rosbag_sink_roundtrip(tmp_path, monkeypatch):
     ptss = _drain(_mk(f"(stream=rosbag-src,fn={tmp_path}/rt.bag,topic=/t/points)"))
     assert len(ptss) == 1 and ptss[0].ts == 9
     np.testing.assert_allclose(ptss[0].nda.data, pts, rtol=1e-6)
+
+
+def test_velo_rev_merges_revolutions():
+    """velo-rev: velodyne-gen packets spanning >360 degrees merge into
+    per-revolution point blocks split at fov_center+180."""
+    gen = instantiate("data_stream", parse_lexp(
+        # 60 azi steps x 12 deg = 2 revolutions; fov_center=180 splits at 0
+        "(stream=velo-rev,fov_center=180.0,src=(stream=velodyne-gen,"
+        "azi_step=12.0,fov_center=180.0,"
+        "src=(stream=velo-cloud-gen,n=1,n_azi=60)))"))
+    gen.start()
+    revs = _drain(gen)
+    # span starts mid-revolution (gen centers the FoV), so: partial rev,
+    # full rev, trailing partial — split at packet granularity
+    assert len(revs) == 3
+    tot = sum(r.nda.data.shape[0] for r in revs)
+    # every return lands in exactly one revolution: 60 firings x 32 points
+    assert tot == 60 * 32
+    assert revs[1].nda.data.shape[0] > revs[0].nda.data.shape[0]
+    assert [r.tag for r in revs] == ["rev_0", "rev_1", "rev_2"]
+    assert all(r.nda.data.shape[1] == 4 for r in revs)
+    assert all(r.nda.data.dtype == np.float32 for r in revs)
