@@ -51,6 +51,10 @@ def main() -> int:
     # (see PallasFwd.batch_split — fixes stage-level large-batch
     # compilation pathologies, e.g. r50 res2@b64)
     bsplit = [s for s in os.environ.get("BENCH_BSPLIT", "").split(",") if s]
+    # int8 inference; BENCH_CALIB points at a net_calib amax file for the
+    # static-scale path (kills the per-forward amax reduces)
+    int8 = os.environ.get("BENCH_INT8", "") == "1"
+    calib = os.environ.get("BENCH_CALIB", "")
 
     import boda_tpu.modes_all  # noqa: F401
     from boda_tpu.config import make
@@ -66,6 +70,10 @@ def main() -> int:
         kw["kernel_policy"] = policy
         if bsplit:
             kw["batch_split"] = bsplit
+        if int8:
+            kw["int8"] = True
+        if calib:
+            kw["calib_fn"] = calib
     eng = make("conv_fwd", engine, precision=prec, compute_tn=ctn, **kw)
     eng.init(pipe)
     d = in_dims["data"]
@@ -97,6 +105,8 @@ def main() -> int:
         "vs_baseline": round(img_s / TITAN_X_RESNET50_IMG_S, 3),
         "detail": {"engine": engine, "precision": prec, "compute_tn": ctn,
                    "img": img, "kernel_policy": policy,
+                   **({"int8": True} if int8 else {}),
+                   **({"calib": calib} if calib else {}),
                    **({"batch_split": bsplit} if bsplit else {}),
                    "secs_per_fwd": round(secs, 6),
                    "GF_per_s": round(fl * img / secs / 1e9, 1)},
