@@ -62,6 +62,8 @@ class TestLmdb(Mode):
     model = Field(str, default="", help="zoo model")
     ptt_fn = Field("filename", default="", help="caffe prototxt")
     weights_fn = Field("filename", default="", help="caffemodel weights")
+    ckpt_fn = Field("filename", default="",
+                    help="train_lmdb checkpoint to evaluate (overrides weights)")
     conv_fwd = Field("conv_fwd", default="(mode=xla)", help="engine")
     out_node_name = Field(str, default="prob", help="prob node")
     img = Field(int, default="4", help="batch size")
@@ -74,6 +76,16 @@ class TestLmdb(Mode):
         from ..utils.img_io import Img
         pipe, in_dims = load_net(self.model, self.ptt_fn, self.weights_fn,
                                  img=self.img, in_sz=self.in_sz)
+        if self.ckpt_fn:  # train->eval loop: weights from a training ckpt
+            from ..parallel.checkpoint import load_checkpoint
+            step, w_np, _m = load_checkpoint(self.ckpt_fn)
+            unknown = sorted(set(w_np) - set(pipe.weights))
+            if unknown:
+                raise ConfigError(f"ckpt weights not in net: {unknown[:4]}")
+            for k, v in w_np.items():
+                pipe.weights[k] = NDA(pipe.weights[k].dims,
+                                      np.asarray(v, np.float32))
+            print(f"test_lmdb: weights from {self.ckpt_fn} (step {step})")
         self.conv_fwd.init(pipe)
         d = in_dims["data"]
         batch = np.zeros((self.img, d["y"], d["x"], 4), np.uint8)

@@ -101,3 +101,19 @@ def test_resume_past_end_keeps_checkpoint(tmp_path, capsys):
     step1, w1, _ = load_checkpoint(str(d / "ck.npz"))
     assert step1 == 4
     assert all(np.array_equal(w0[k], w1[k]) for k in w0)
+
+
+def test_test_lmdb_evaluates_checkpoint(tmp_path, capsys):
+    """train_lmdb checkpoint -> test_lmdb --ckpt-fn: the train->eval loop."""
+    d = tmp_path / "run"
+    rc = main(["train_lmdb", f"--rec-fn={REC}", "--model=mini_resnet",
+               "--img=4", "--n-steps=3", "--ckpt-fn=ck.npz",
+               f"--boda-output-dir={d}"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["test_lmdb", f"--rec-fn={REC}", "--model=mini_resnet",
+               "--img=4", f"--ckpt-fn={d}/ck.npz"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "weights from" in out and "(step 3)" in out
+    assert "top1=" in out
