@@ -137,7 +137,10 @@ class RunCnet(_NetMode):
                     f.write(f"per_layer_time['{tag}']={secs!r}\n")
             tot = sum(times.values())
             print(f"per-layer times: {len(times)} ops, sum {tot * 1e3:.3f}ms "
-                  f"-> {self.per_layer_fn}")
+                  f"-> {self.per_layer_fn} (standalone-op decomposition: "
+                  "over a remote dispatch path the sum exceeds the fused "
+                  "net time by ~20x; for in-net attribution use "
+                  "net_trace --per-op=1)")
         il = self.conv_fwd.get_info_log()
         if il:
             print(il)
