@@ -62,7 +62,7 @@ class NetCalib(Mode):
                 break
         if n_done == 0:
             raise ConfigError("no calibration batches produced")
-        write_calib(self.out_fn, pipe.name, amax,
+        write_calib(self.out_path(self.out_fn), pipe.name, amax,
                     batches=n_done, compute_tn=self.compute_tn)
         qn = [n for n in sorted(amax) if not n.endswith("__grad")]
         print(f"net_calib {pipe.name}: {n_done} batches x {self.img} imgs, "

@@ -1,0 +1,77 @@
+#!/bin/bash
+# Round-2 TPU capture session (reconstruction of the staged /tmp/tpu_session*.sh
+# from NOTES_ROUND4.md — the tunnel was down for the tail of the last session).
+# Each step is independently bounded and logged; safe to re-run per-step.
+#
+# Usage: bash scripts/tpu_r2_capture.sh [stepname...]   (default: all)
+set -u
+cd "$(dirname "$0")/.."
+LOG=${LOG:-/tmp/tpu_r2}
+mkdir -p "$LOG"
+
+step() { echo "===== [$(date +%H:%M:%S)] $1 ====="; }
+want() { [ $#_ARGS -eq 0 ] || { for a in $ARGS; do [ "$a" = "$1" ] && return 0; done; return 1; }; }
+ARGS="$*"; _ARGS=$#
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 to=$2; shift 2
+  if [ $_ARGS -gt 0 ]; then
+    local hit=0; for a in $ARGS; do [ "$a" = "$name" ] && hit=1; done
+    [ $hit -eq 1 ] || return 0
+  fi
+  step "$name"
+  timeout "$to" "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  tail -25 "$LOG/$name.log"
+  echo "--- $name rc=$rc"
+}
+
+# --- session 1: stem wisdom + bench captures -------------------------------
+
+# 1. stem A/B (net_tune restricted to the conv1 group; stem_s2d is among the
+#    default candidates) -> stem wisdom
+run stem_tune 2400 python -m boda_tpu net_tune --model=resnet50 --img=32 \
+  --op-filter=conv1 --boda-output-dir="$LOG" --wisdom-out-fn=stem.wis
+
+# 2. bench captures: b32 baseline (no wisdom), b32 with stem wisdom
+run bench_b32_nowis 900 env BENCH_WISDOM= python bench.py
+run bench_b32_stem 900 env BENCH_WISDOM="$LOG/stem.wis" python bench.py
+
+# 3. batch scaling: b64 (with and without the res2 batch-split), b128
+run bench_b64 900 env BENCH_WISDOM="$LOG/stem.wis" BENCH_IMG=64 python bench.py
+run bench_b64_bsplit 900 env BENCH_WISDOM="$LOG/stem.wis" BENCH_IMG=64 \
+  BENCH_BSPLIT=pool1:res2c_relu:2 python bench.py
+run bench_b128 900 env BENCH_WISDOM="$LOG/stem.wis" BENCH_IMG=128 python bench.py
+run bench_b128_bsplit 900 env BENCH_WISDOM="$LOG/stem.wis" BENCH_IMG=128 \
+  BENCH_BSPLIT=pool1:res2c_relu:4 python bench.py
+
+# 4. int8: calibrate, then dynamic-vs-static int8 benches
+run calib 1200 python -m boda_tpu net_calib --model=resnet50 --img=8 \
+  --batches=8 --boda-output-dir="$LOG" --out-fn=r50-calib.json
+run bench_int8_dyn 900 env BENCH_INT8=1 BENCH_WISDOM= python bench.py
+run bench_int8_static 900 env BENCH_INT8=1 BENCH_CALIB="$LOG/r50-calib.json" \
+  BENCH_WISDOM= python bench.py
+
+# 5. net_trace --per-op: in-net per-op device time over the tunnel
+run trace 1200 python -m boda_tpu net_trace --model=resnet50 --img=32 \
+  --per-op=1 --top-k=30 --boda-output-dir="$LOG" \
+  --conv-fwd='(mode=pallas,compute_tn=bfloat16,precision=default,kernel_policy=lib)'
+
+# 6. train_bench +/- remat
+run train_bench 1500 python -m boda_tpu train_bench --model=resnet50 --img=32
+run train_bench_remat 1500 python -m boda_tpu train_bench --model=resnet50 \
+  --img=32 --remat=dots
+
+# --- session 2: full net_tune sweep + gen-policy refresh --------------------
+
+# 7. full sweep over the hottest 10 signature groups (in-program A/B, 8% margin)
+run full_tune 7200 python -m boda_tpu net_tune --model=resnet50 --img=32 \
+  --max-groups=10 --boda-output-dir="$LOG" --wisdom-out-fn=full.wis
+
+# 8. bench with full wisdom
+run bench_full_wis 900 env BENCH_WISDOM="$LOG/full.wis" python bench.py
+
+# 9. gen-policy whole-net refresh
+run bench_gen 900 env BENCH_POLICY=gen BENCH_WISDOM= python bench.py
+
+step "all done; logs in $LOG"
