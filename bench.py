@@ -94,10 +94,28 @@ def main() -> int:
     # percent (occasionally 2x); the min approximates the noise-free time
     # (compile is cached after the first call, so repeats are cheap)
     reps = int(os.environ.get("BENCH_REPS", "4"))
-    secs = min(eng.time_fwd({"data": x}, ["prob"], n_iters=24, chain=chain)
-               for _ in range(reps))
-    img_s = img / secs
+    # physics floor: a reading faster than the model's FLOPs at 2.5x the
+    # v5e bf16 MXU peak (197 TF/s) is a measurement failure, not speed —
+    # observed once: a corrupted slope read 188us/fwd = 1.3 PF/s. Such
+    # readings are dropped (min-aggregation would otherwise keep exactly
+    # the corrupted one); if every rep is sub-floor the bench errors out
+    # rather than print an impossible number.
     fl = pipe.total_flops() / img
+    floor_s = (fl * img) / 500e12
+    times = [eng.time_fwd({"data": x}, ["prob"], n_iters=24, chain=chain)
+             for _ in range(reps)]
+    valid = [t for t in times if t >= floor_s]
+    for t in times:
+        if t < floor_s:
+            print(f"bench: dropped impossible reading {t*1e6:.0f} us/fwd "
+                  f"(< physics floor {floor_s*1e6:.0f} us)", file=sys.stderr)
+    if not valid:
+        print(json.dumps({"metric": f"{model}_fwd_img_per_sec", "value": 0.0,
+                          "unit": "img/s", "vs_baseline": 0.0,
+                          "error": f"all {reps} readings below physics floor"}))
+        return 1
+    secs = min(valid)
+    img_s = img / secs
     print(json.dumps({
         "metric": f"{model}_fwd_img_per_sec",
         "value": round(img_s, 2),

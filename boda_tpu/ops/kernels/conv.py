@@ -208,9 +208,11 @@ class HaloBlocks:
     r: int          # row blocks per image = ceil(oh / boy)
     wp: int         # width after folding column pad + rounding to 8
     owp: int        # kernel output width from wp (>= ow; sliced after)
+    nb: int = 1     # images per block (r==1 stride-1 only; lifts matmul M)
 
     def __str__(self):
-        return f"boy={self.boy} boc={self.boc}x{self.jn}"
+        return f"boy={self.boy} boc={self.boc}x{self.jn}" + \
+            (f" nb={self.nb}" if self.nb > 1 else "")
 
 
 def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
@@ -244,6 +246,7 @@ def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
     cands = [tune.chunk] if tune.chunk else sorted(
         (b for b in (64, 56, 32, 28, 16, 14, 8, 7, 4, 2, 1) if b <= oh),
         key=lambda b: (oh % b != 0, -b))
+    n = ind["img"]
     for boy in cands:
         boy = min(boy, oh)
         r = cdiv(oh, boy)
@@ -256,24 +259,44 @@ def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
             continue
         if r > 2 and (r - 2) * boy * sy - py + xr > h:
             continue
-        x_blk = xrp * wp * c * itemsize
-        for boc in (ocp, *range(((ocp // 128) - 1) * 128, 0, -128)):
-            if ocp % boc:
-                continue
-            if boy * wp * boc * 4 > _HALO_TEMP_CAP:
-                continue  # Mosaic compiler aborts on huge unrolled tap values
-            jn = ocp // boc
-            w_blk = kh * kw * c * boc * itemsize
-            out_blk = boy * owp * boc * itemsize
-            z_tmp = (boy * wp * boc + boy * owp * boc) * 4  # per-tap f32 temps
-            if tune.tap_cat and (sy, sx) == (1, 1) and itemsize == 4:
-                # gathered (boy*owp, kh*kw*c) operand lives alongside;
-                # pallas_conv2d_halo only enables tap_cat for 32-bit dtypes,
-                # so don't charge the budget (and shrink blocks) for sub-32
-                z_tmp += boy * owp * kh * kw * c * itemsize
-            if 2 * x_blk + 2 * w_blk + 2 * out_blk + z_tmp <= _VMEM_BUDGET:
-                return HaloBlocks(boy=boy, boc=boc, jn=jn, xr=xr, xrp=xrp,
-                                  r=r, wp=wp, owp=owp)
+        # image-batch blocking (nb): with one row-block per image (r==1,
+        # small spatial) the per-tap matmul has only boy*wp rows — well
+        # under the 128-row MXU pass (e.g. 7x7: M=56). Stacking nb images
+        # per grid step multiplies M. Auto targets M in [256, 512];
+        # stride-1 + no tap_cat only (the win case; keeps the DMA a single
+        # contiguous multi-image copy).
+        nb_ok = r == 1 and (sy, sx) == (1, 1) and not tune.tap_cat
+        if tune.nb:
+            nbs = [tune.nb] if (nb_ok or tune.nb == 1) and n % tune.nb == 0 \
+                else [1]
+        elif nb_ok and boy * wp < 256:
+            auto = 1
+            while auto * 2 <= n and n % (auto * 2) == 0 \
+                    and boy * wp * auto * 2 <= 512:
+                auto *= 2
+            nbs = sorted({auto, max(1, auto // 2), 1}, reverse=True)
+        else:
+            nbs = [1]
+        for nb in nbs:
+            x_blk = nb * xrp * wp * c * itemsize
+            for boc in (ocp, *range(((ocp // 128) - 1) * 128, 0, -128)):
+                if ocp % boc:
+                    continue
+                if nb * boy * wp * boc * 4 > _HALO_TEMP_CAP:
+                    continue  # Mosaic aborts on huge unrolled tap values
+                jn = ocp // boc
+                w_blk = kh * kw * c * boc * itemsize
+                out_blk = nb * boy * owp * boc * itemsize
+                # per-tap f32 temps
+                z_tmp = nb * (boy * wp * boc + boy * owp * boc) * 4
+                if tune.tap_cat and (sy, sx) == (1, 1) and itemsize == 4:
+                    # gathered (boy*owp, kh*kw*c) operand lives alongside;
+                    # pallas_conv2d_halo only enables tap_cat for 32-bit
+                    # dtypes, so don't charge the budget for sub-32
+                    z_tmp += boy * owp * kh * kw * c * itemsize
+                if 2 * x_blk + 2 * w_blk + 2 * out_blk + z_tmp <= _VMEM_BUDGET:
+                    return HaloBlocks(boy=boy, boc=boc, jn=jn, xr=xr, xrp=xrp,
+                                      r=r, wp=wp, owp=owp, nb=nb)
     return None
 
 
@@ -318,35 +341,73 @@ def _halo_dma_variants(x_hbm, xbuf, sem, tt, slot, *, r, boy, sy, py, xr, h,
             go(start, xr, 0)
 
 
+def _halo_dma_nb(x_hbm, xbuf, sem, tt, slot, *, nb, py, xr, h, action):
+    """Multi-image window DMA (r==1 only): one contiguous copy of the full
+    (clipped) row window of `nb` consecutive images into the batched buffer."""
+    n_rows = min(xr - py, h)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(tt * nb, nb), pl.ds(0, n_rows)],
+        xbuf.at[slot, :, pl.ds(py, n_rows)],
+        sem.at[slot])
+    cp.start() if action == "start" else cp.wait()
+
+
 def _conv_halo_kernel(x_hbm, w_ref, b_ref, *rest, kh, kw, sy, sx, boy, owp,
                       py, h, wp, r, n_t, bz, xrp, precision, relu, has_res,
-                      tap_cat=False):
+                      tap_cat=False, nb=1):
     if has_res:
         res_ref, o_ref, xbuf, sem = rest
     else:
         o_ref, xbuf, sem = rest
     c = xbuf.shape[-1]
-    boc = o_ref.shape[3]
+    boc = o_ref.shape[-1]
     t = pl.program_id(0)
     j = pl.program_id(1)
     i = jax.lax.rem(t, r)
     slot = jax.lax.rem(t, 2)
-    dma_kw = dict(r=r, boy=boy, sy=sy, py=py, xr=(boy - 1) * sy + kh, h=h,
-                  bz=bz)
+    if nb > 1:
+        dma_kw = dict(nb=nb, py=py, xr=(boy - 1) * sy + kh, h=h)
+        dma = _halo_dma_nb
+    else:
+        dma_kw = dict(r=r, boy=boy, sy=sy, py=py, xr=(boy - 1) * sy + kh, h=h,
+                      bz=bz)
+        dma = _halo_dma_variants
 
     @pl.when(j == 0)
     def _dma():
         @pl.when(t == 0)
         def _():
-            _halo_dma_variants(x_hbm, xbuf, sem, t, slot, action="start",
-                               **dma_kw)
+            dma(x_hbm, xbuf, sem, t, slot, action="start", **dma_kw)
 
         @pl.when(t + 1 < n_t)
         def _():
-            _halo_dma_variants(x_hbm, xbuf, sem, t + 1,
-                               jax.lax.rem(t + 1, 2), action="start", **dma_kw)
+            dma(x_hbm, xbuf, sem, t + 1,
+                jax.lax.rem(t + 1, 2), action="start", **dma_kw)
 
-        _halo_dma_variants(x_hbm, xbuf, sem, t, slot, action="wait", **dma_kw)
+        dma(x_hbm, xbuf, sem, t, slot, action="wait", **dma_kw)
+
+    if nb > 1:
+        # batched-image path (r==1, stride-1, no tap_cat — gated in blocks):
+        # per-tap dot M = nb*boy*wp rows (vs boy*wp unbatched)
+        acc = jnp.zeros((nb, boy, owp, boc), jnp.float32)
+        for ky in range(kh):
+            xk = xbuf[slot][:, ky:ky + boy]  # (nb, boy, wp, c)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, boy, wp, 1), 1) + ky
+            xk = jnp.where((rows >= py) & (rows < py + h), xk,
+                           jnp.zeros((), xk.dtype))
+            xk2 = xk.reshape(nb * boy * wp, c)
+            for kx in range(kw):
+                z = jnp.dot(xk2, w_ref[ky, kx],
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+                acc = acc + z.reshape(nb, boy, wp, boc)[:, :, kx:kx + owp, :]
+        acc = acc + b_ref[0].astype(jnp.float32)
+        if has_res:
+            acc = acc + res_ref[...].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        o_ref[...] = acc.astype(o_ref.dtype)
+        return
 
     acc = jnp.zeros((boy, owp, boc), jnp.float32)
     base = i * boy * sy
@@ -439,7 +500,8 @@ def pallas_conv2d_halo(x, wt, bias, *, stride=(1, 1), pad=(0, 0),
     oh = (h + 2 * py - kh) // sy + 1
     ow = (w + 2 * px - kw) // sx + 1
     boy, boc, jn, xrp, r = hb.boy, hb.boc, hb.jn, hb.xrp, hb.r
-    wp, owp = hb.wp, hb.owp
+    wp, owp, nb = hb.wp, hb.owp, hb.nb
+    assert nb == 1 or (r == 1 and (sy, sx) == (1, 1) and n % nb == 0), hb
     # fold the column pad host-side (cheap fusable O(input) pad; Mosaic DMA
     # rows must be 8-multiples — see module header). Rows stay unpadded.
     x = jnp.pad(x, ((0, 0), (0, 0), (px, wp - w - px), (0, 0)))
@@ -449,8 +511,13 @@ def pallas_conv2d_halo(x, wt, bias, *, stride=(1, 1), pad=(0, 0),
         bias = jnp.pad(bias, (0, ocp - oc))
     bias2d = bias.reshape(1, ocp)
     ohp = r * boy
-    n_t = n * r
+    n_t = (n // nb) * r
     bz = max(0, (r - 1) * boy * sy - py + hb.xr - h)  # last-block row overrun
+    if nb > 1:  # batched-image blocks: r==1, so the row index is always 0
+        io_spec = pl.BlockSpec((nb, boy, owp, boc), lambda t, j: (t, 0, 0, j))
+    else:
+        io_spec = pl.BlockSpec((1, boy, owp, boc),
+                               lambda t, j: (t // r, t % r, 0, j))
 
     in_specs = [
         pl.BlockSpec(memory_space=ANY_SPACE),
@@ -463,8 +530,7 @@ def pallas_conv2d_halo(x, wt, bias, *, stride=(1, 1), pad=(0, 0),
             residual = jnp.pad(residual, ((0, 0), (0, 0), (0, 0), (0, ocp - oc)))
         if owp != ow:
             residual = jnp.pad(residual, ((0, 0), (0, 0), (0, owp - ow), (0, 0)))
-        in_specs.append(pl.BlockSpec(
-            (1, boy, owp, boc), lambda t, j: (t // r, t % r, 0, j)))
+        in_specs.append(io_spec)
         args.append(residual)
 
     out = pl.pallas_call(
@@ -476,13 +542,14 @@ def pallas_conv2d_halo(x, wt, bias, *, stride=(1, 1), pad=(0, 0),
             # tap_cat: stride-1, 32-bit only (Mosaic: no sub-32-bit rotate,
             # and bf16 packed-layout concat hits the offset-mismatch error)
             tap_cat=(tap_cat and (sy, sx) == (1, 1)
-                     and jnp.dtype(x.dtype).itemsize == 4)),
+                     and jnp.dtype(x.dtype).itemsize == 4),
+            nb=nb),
         grid=(n_t, jn),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, boy, owp, boc),
-                               lambda t, j: (t // r, t % r, 0, j)),
+        out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct((n, ohp, owp, ocp), x.dtype),
-        scratch_shapes=[pltpu.VMEM((2, xrp, wp, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, nb, xrp, wp, c), x.dtype)
+                        if nb > 1 else pltpu.VMEM((2, xrp, wp, c), x.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),

@@ -51,6 +51,12 @@ class OpTune:
     # separate K=c dots (amortizes MXU pipeline fill + per-tap shift/adds).
     # stride-1 only; costs kh*kw x VMEM for the gathered operand.
     tap_cat: bool = False
+    # halo-conv image-batch blocking: stack nb images into one grid step so
+    # the per-tap matmul M dim is nb*boy*wp rows instead of boy*wp. At small
+    # spatial extents (e.g. 7x7: M=56) a single image starves the 128-row MXU
+    # pass; batching restores M. 0 = auto (on for r==1 stride-1 small-M
+    # shapes), 1 = force off, >1 = force that many images per block.
+    nb: int = 0
     # v2 direct conv: element-window halo reads (no host-side gather), any
     # stride handled in-kernel. -1 = auto (on for compiled runs, off in
     # interpreter mode where emulated DMA is very slow); 1 = force on;

@@ -36,7 +36,7 @@ def _ref_conv(x, wt, b, s, p, relu, residual=None):
 
 
 def _run(n, h, w, c, k, oc, s=(1, 1), p=(1, 1), dt=jnp.float32, relu=True,
-         chunk=0, res=False, tap_cat=False):
+         chunk=0, res=False, tap_cat=False, nb=0):
     x = jnp.asarray(rng.standard_normal((n, h, w, c)) * 0.5, dt)
     wt = jnp.asarray(rng.standard_normal((k, k, c, oc)) * (1 / (k * k * c) ** 0.5), dt)
     b = jnp.asarray(rng.standard_normal((oc,)) * 0.01, dt)
@@ -47,7 +47,7 @@ def _run(n, h, w, c, k, oc, s=(1, 1), p=(1, 1), dt=jnp.float32, relu=True,
     fd = Dims.of(out_chan=oc, in_chan=c, y=k, x=k)
     od = Dims.of(img=n, chan=oc, y=oh, x=ow)
     hb = conv_halo_blocks(ind, fd, od, s, p,
-                          OpTune(chunk=chunk, tap_cat=tap_cat))
+                          OpTune(chunk=chunk, tap_cat=tap_cat, nb=nb))
     assert hb is not None, "expected a feasible halo blocking"
     residual = jnp.asarray(rng.standard_normal((n, oh, ow, oc)) * 0.1, dt) \
         if res else None
@@ -141,3 +141,42 @@ def test_tap_cat_bf16():
 def test_tap_cat_strided_falls_back():
     # stride>1: tap_cat is ignored (kernel runs the per-tap form), still correct
     _run(2, 14, 14, 128, 3, 128, s=(2, 2), p=(1, 1), tap_cat=True)
+
+
+def test_nb_auto_small_spatial():
+    # 7x7 stride-1: boy*wp=56 rows starves the MXU; auto nb stacks images
+    hb = _run(8, 7, 7, 128, 3, 128)
+    assert hb.nb > 1, hb
+
+
+def test_nb_forced_2():
+    hb = _run(4, 14, 14, 128, 3, 128, nb=2)
+    assert hb.nb == 2, hb
+
+
+def test_nb_residual_padded_oc():
+    # batched-image path with residual fusion + oc=192 -> ocp=256 slice-off
+    hb = _run(4, 7, 7, 128, 3, 192, res=True, nb=2)
+    assert hb.nb == 2, hb
+
+
+def test_nb_bf16():
+    hb = _run(4, 7, 7, 128, 3, 128, dt=jnp.bfloat16, nb=2)
+    assert hb.nb == 2, hb
+
+
+def test_nb_no_pad():
+    hb = _run(4, 9, 9, 128, 3, 128, p=(0, 0), nb=2)
+    assert hb.nb == 2, hb
+
+
+def test_nb_indivisible_falls_back():
+    # n=3 not divisible by forced nb=2 -> kernel must run unbatched
+    hb = _run(3, 7, 7, 128, 3, 128, nb=2)
+    assert hb.nb == 1, hb
+
+
+def test_nb_strided_stays_off():
+    # nb is gated to stride-1; strided shapes must never pick nb>1
+    hb = _run(4, 14, 14, 128, 3, 128, s=(2, 2), p=(1, 1))
+    assert hb.nb == 1, hb
