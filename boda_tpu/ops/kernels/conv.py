@@ -262,19 +262,16 @@ def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
         # image-batch blocking (nb): with one row-block per image (r==1,
         # small spatial) the per-tap matmul has only boy*wp rows — well
         # under the 128-row MXU pass (e.g. 7x7: M=56). Stacking nb images
-        # per grid step multiplies M. Auto targets M in [256, 512];
-        # stride-1 + no tap_cat only (the win case; keeps the DMA a single
-        # contiguous multi-image copy).
+        # per grid step multiplies M. Measured on v5e (scripts/exp_nb.py,
+        # 2026-08): batching forces boc to shrink to fit VMEM and the
+        # full-width oc block matters MORE than matmul M (nb_auto 115 vs
+        # nb1 120 TF/s @14x14x256; 62 vs 69 @7x7x512) — so nb is OFF by
+        # default and only applied when a tune/wisdom entry forces it
+        # (stride-1, r==1, no tap_cat; keeps the DMA one contiguous
+        # multi-image copy).
         nb_ok = r == 1 and (sy, sx) == (1, 1) and not tune.tap_cat
-        if tune.nb:
-            nbs = [tune.nb] if (nb_ok or tune.nb == 1) and n % tune.nb == 0 \
-                else [1]
-        elif nb_ok and boy * wp < 256:
-            auto = 1
-            while auto * 2 <= n and n % (auto * 2) == 0 \
-                    and boy * wp * auto * 2 <= 512:
-                auto *= 2
-            nbs = sorted({auto, max(1, auto // 2), 1}, reverse=True)
+        if tune.nb > 1 and nb_ok and n % tune.nb == 0:
+            nbs = [tune.nb]
         else:
             nbs = [1]
         for nb in nbs:

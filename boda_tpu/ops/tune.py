@@ -54,8 +54,11 @@ class OpTune:
     # halo-conv image-batch blocking: stack nb images into one grid step so
     # the per-tap matmul M dim is nb*boy*wp rows instead of boy*wp. At small
     # spatial extents (e.g. 7x7: M=56) a single image starves the 128-row MXU
-    # pass; batching restores M. 0 = auto (on for r==1 stride-1 small-M
-    # shapes), 1 = force off, >1 = force that many images per block.
+    # pass; batching restores M — but it also shrinks the feasible oc block,
+    # and on v5e the full-width oc block wins (measured null result,
+    # scripts/exp_nb.py: nb_auto loses ~5-10% vs nb=1 at 14x14x256/7x7x512).
+    # 0/1 = off (default), >1 = force that many images per block (r==1
+    # stride-1 shapes only; ignored elsewhere).
     nb: int = 0
     # v2 direct conv: element-window halo reads (no host-side gather), any
     # stride handled in-kernel. -1 = auto (on for compiled runs, off in

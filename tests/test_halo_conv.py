@@ -143,10 +143,11 @@ def test_tap_cat_strided_falls_back():
     _run(2, 14, 14, 128, 3, 128, s=(2, 2), p=(1, 1), tap_cat=True)
 
 
-def test_nb_auto_small_spatial():
-    # 7x7 stride-1: boy*wp=56 rows starves the MXU; auto nb stacks images
+def test_nb_default_off():
+    # nb stays off unless forced: the measured v5e null result (exp_nb.py)
+    # showed image-batching loses to full-width oc blocks
     hb = _run(8, 7, 7, 128, 3, 128)
-    assert hb.nb > 1, hb
+    assert hb.nb == 1, hb
 
 
 def test_nb_forced_2():
