@@ -106,6 +106,150 @@ class CnnProf(Mode):
         return self.be.time_func(Call(fi.name, arg_map), n_iters=10)
 
 
+def _sig_mkn(op) -> tuple[int, int, int, int, int]:
+    """(M, K, N, flops, bytes) for a conv/sgemm op signature."""
+    if op.type == "sgemm":
+        a, b, c = op.dims("a"), op.dims("b"), op.dims("c")
+        M, K, N = a["M"], a["K"], b["N"]
+        byts = a.bytes_sz() + b.bytes_sz() + c.bytes_sz()
+    else:
+        ind, fd, od = op.dims("in"), op.dims("filts"), op.dims("out")
+        M = od["img"] * od["y"] * od["x"]
+        K = fd["in_chan"] * fd["y"] * fd["x"]
+        N = fd["out_chan"]
+        byts = ind.bytes_sz() + fd.bytes_sz() + od.bytes_sz()
+        if "biases" in op.dims_vals:
+            byts += op.dims("biases").bytes_sz()
+    return M, K, N, 2 * M * K * N, byts
+
+
+def _pp_si(v: float, unit: str) -> str:
+    for scale, pre in ((1e12, "T"), (1e9, "G"), (1e6, "M"), (1e3, "k"),
+                       (1.0, ""), (1e-3, "m"), (1e-6, "u")):
+        if abs(v) >= scale:
+            return f"{v / scale:.3g}{pre}{unit}"
+    return f"{v:.3g}{unit}"
+
+
+@register("mode", "cnn_op_info",
+          help="op-corpus info/efficiency tables (text/json/latex rows)")
+class CnnOpInfo(Mode):
+    """Corpus-driven op info + measured efficiency tables.
+
+    Parity target: ``cnn_op_info_t`` (ref src/cnn-prof.cc:24 + the latex row
+    emitters in src/latex-util.H:22): for each op signature in a corpus file,
+    print kernel/stride/shape info, MxKxN, bytes, FLOPs, AI — and with
+    ``--time=1`` the measured runtime, GF/s and %-of-peak on the backend,
+    optionally against a comparison tune (speedup column, the
+    generated-vs-library framing of doc/sgemm-notes.txt). ``--op-info-tab-fn``
+    / ``--op-eff-tab-fn`` write latex table rows (paper-table output;
+    ref op_info_tab_fn/op_eff_tab_fn)."""
+
+    ops_fn = Field("filename", req=True, help="op-signature corpus (one lexp/line)")
+    be = Field("be", default="(be=tpu)", help="backend for timing")
+    time = Field(bool, default="0", help="run+time each op on the backend")
+    tune = Field("lexp", default="()", help="op_tune for the primary variant")
+    tune_comp = Field("lexp", default="",
+                      help="comparison tune (adds runtime + speedup columns)")
+    peak_flops = Field(float, default="0", help="peak FLOP/s (0=auto per platform)")
+    n_iters = Field(int, default="10", help="timing iterations per op")
+    mrd_toler = Field(float, default="2e-4", help="tune-vs-comp output tolerance")
+    op_info_tab_fn = Field(str, default="", help="latex info rows output file")
+    op_eff_tab_fn = Field(str, default="", help="latex eff rows output file")
+    json_out = Field(bool, default="0", help="emit one json line per op")
+
+    def main(self) -> None:
+        from ..ops.op_base import load_op_sigs
+        from ..ops.registry import Codegen
+        from ..ops.tune import OpTune
+        from ..prof.opsprof import profile_op
+        ops = load_op_sigs(self.ops_fn)
+        tunes = [OpTune.from_lexp(self.tune)]
+        if str(self.tune_comp):
+            tunes.append(OpTune.from_lexp(self.tune_comp))
+        cg = Codegen(self.be) if self.time else None
+        peak = self.peak_flops or (_default_peak(
+            self.be.get_plat_tag(), "float32") if self.time else 0.0)
+        info_rows, eff_rows = [], []
+        for op in ops:
+            M, K, N, fl, byts = _sig_mkn(op)
+            ai = fl / max(byts, 1)
+            rec = {"op": op.type, "MKN": [M, K, N], "flops": fl,
+                   "bytes": byts, "AI": round(ai, 2)}
+            desc = f"{M}x{K}x{N}"
+            if op.type == "conv":
+                ind, od = op.dims("in"), op.dims("out")
+                ksz, st = op.dims("filts")["y"], op.ival("stride", 1)
+                rec.update(ksz=ksz, stride=st, out_chan=N,
+                           inp=f"{ind['img']}x{ind['y']}x{ind['x']}x{ind['chan']}")
+                desc = f"k{ksz}s{st} {rec['inp']}->{N}"
+                info_rows.append(
+                    f"{ksz} & {st} & {N} & {ind['img']} & "
+                    f"$ {ind['y']} \\dx {ind['x']} \\dx {ind['chan']} $ & "
+                    f"$ {od['y']} \\dx {od['x']} \\dx {od['chan']} $ & "
+                    f"$ {M} \\dx {K} \\dx {N} $ & {_pp_si(byts, 'B')} & "
+                    f"{_pp_si(fl, 'F')} & {ai:.1f} \\\\")
+            else:
+                info_rows.append(
+                    f"$ {M} \\dx {K} \\dx {N} $ & {_pp_si(byts, 'B')} & "
+                    f"{_pp_si(fl, 'F')} & {ai:.1f} \\\\")
+            secs = secs_comp = None
+            if self.time:
+                self.be.release_all_vars()
+                wis = profile_op(self.be, cg, op, tunes, n_iters=self.n_iters,
+                                 mrd_toler=self.mrd_toler,
+                                 log=lambda *_a: None)
+                byrun = {r.tune: r.secs for r in wis.runs}
+                secs = byrun.get(tunes[0].key())
+                if len(tunes) > 1:
+                    secs_comp = byrun.get(tunes[1].key())
+                if secs is not None:
+                    rec["us"] = round(secs * 1e6, 1)
+                    rec["GF/s"] = round(fl / secs / 1e9, 1)
+                    if peak:
+                        rec["pct_peak"] = round(100 * fl / secs / peak, 2)
+                if secs_comp is not None:
+                    rec["us_comp"] = round(secs_comp * 1e6, 1)
+                    rec["speedup_vs_comp"] = round(secs_comp / secs, 2) \
+                        if secs else None
+                eff = []
+                if op.type == "conv":
+                    eff.append(f"{rec['ksz']} & {rec['stride']} & {N} & "
+                               f"$ {rec['inp']} $ & \\verb|{tunes[0].key()}|")
+                else:
+                    eff.append(f"$ {M} \\dx {K} \\dx {N} $ & "
+                               f"\\verb|{tunes[0].key()}|")
+                if secs_comp is not None:
+                    eff.append(f"{_pp_si(secs_comp, 's')} & "
+                               f"{_pp_si(fl / secs_comp, 'F/s')}")
+                if secs is not None:
+                    eff.append(f"{_pp_si(secs, 's')} & {_pp_si(fl / secs, 'F/s')}"
+                               + (f" & {100 * fl / secs / peak:.1f}\\%"
+                                  if peak else ""))
+                    if secs_comp is not None:
+                        eff.append(f"{secs_comp / secs:.2f}x")
+                eff_rows.append(" & ".join(eff) + " \\\\")
+            if self.json_out:
+                print(json.dumps(rec))
+            else:
+                line = (f"{desc:<36} {_pp_si(fl, 'F'):>8} {_pp_si(byts, 'B'):>8}"
+                        f" {ai:8.1f}AI")
+                if secs is not None:
+                    line += f" {secs * 1e6:9.1f}us {fl / secs / 1e9:8.1f}GF/s"
+                    if peak:
+                        line += f" {100 * fl / secs / peak:6.2f}%pk"
+                if secs_comp is not None and secs:
+                    line += f" comp:{secs_comp * 1e6:.1f}us ({secs_comp / secs:.2f}x)"
+                print(line)
+        for fn, rows in ((self.op_info_tab_fn, info_rows),
+                         (self.op_eff_tab_fn, eff_rows)):
+            if fn:
+                path = self.out_path(fn)
+                with open(path, "w") as f:
+                    f.write("\n".join(rows) + "\n")
+                print(f"wrote {len(rows)} latex rows to {fn}")
+
+
 @register("mode", "net_decomp",
           help="in-net stage timing via suffix-subgraph differences")
 class NetDecomp(Mode):
