@@ -31,7 +31,7 @@ class TrainBench(Mode):
     weight_decay = Field(float, default="0.0", help="decoupled weight decay")
     bn_momentum = Field(float, default="0.0", help="train-mode BN EMA rate (0=inference-stats BN)")
     master_f32 = Field(bool, default="0", help="f32 master weights (compute in compute_tn)")
-    remat = Field(str, default="", help="rematerialization: '' | full | dots")
+    remat = Field(str, default="", help="rematerialization: '' | seg | full | dots")
     compute_tn = Field(str, default="bfloat16", help="weight/activation dtype ('' = f32)")
     chain = Field(int, default="4", help="steps chained per dispatch")
     n_iters = Field(int, default="12", help="timed dispatches")

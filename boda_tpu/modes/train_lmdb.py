@@ -35,7 +35,7 @@ class TrainLmdb(Mode):
     clip_norm = Field(float, default="1.0", help="global-norm grad clip")
     bn_momentum = Field(float, default="0.1", help="train-mode BN EMA rate")
     compute_tn = Field(str, default="", help="bfloat16 = f32-master mixed precision")
-    remat = Field(str, default="", help="rematerialization: '' | full | dots")
+    remat = Field(str, default="", help="rematerialization: '' | seg | full | dots")
     mesh = Field("lexp", default="()", help="mesh axes, e.g. (dp=2)")
     log_every = Field(int, default="1", help="print loss every N steps")
     # LR schedules (parallel/schedules.py): lr is the base rate

@@ -26,9 +26,40 @@ def find_logits_node(pipe: ConvPipe, prob_node: str = "prob") -> str:
     return prob_node
 
 
+def spatial_segments(pipe: ConvPipe) -> list[list[str]]:
+    """Partition the topo op order at spatial-resolution boundaries.
+
+    The segments are the natural checkpoints for structured remat: for a
+    staged CNN (resnet50: 112/56/28/14/7) this yields ~5 segments, so
+    checkpointing each segment costs ~one extra forward total while only
+    boundary activations (+ one segment's internals) stay live."""
+    segs: list[list[str]] = []
+    cur: list[str] = []
+    prev_y = None
+    for op_name in pipe.topo_op_order():
+        op = pipe.ops[op_name]
+        y = None
+        for t in op.tops:
+            node = pipe.nodes.get(t)
+            d = node.dims if node is not None else None
+            if d is not None and "y" in d:
+                y = d["y"]
+                break
+        if cur and y is not None and prev_y is not None and y != prev_y:
+            segs.append(cur)
+            cur = []
+        cur.append(op_name)
+        if y is not None:
+            prev_y = y
+    if cur:
+        segs.append(cur)
+    return segs
+
+
 def build_net_fn(pipe: ConvPipe, out_names: list[str],
                  ctx: Optional[LowerCtx] = None,
-                 bn_momentum: float = 0.0) -> Callable:
+                 bn_momentum: float = 0.0,
+                 segments: Optional[list[list[str]]] = None) -> Callable:
     """Pure fn(weights_dict, inputs_dict) -> {name: array} over stock-XLA ops.
 
     bn_momentum > 0 switches BatchNorm ops to TRAINING semantics: normalize
@@ -36,7 +67,15 @@ def build_net_fn(pipe: ConvPipe, out_names: list[str],
     stats under the extra output key "__bn_stats__" (new = (1-m)*old +
     m*batch). The reference has no training loop at all (SURVEY §2), so
     inference-stats BN is its only semantic; this is the standard
-    train-mode extension users of a training step expect."""
+    train-mode extension users of a training step expect.
+
+    segments (from ``spatial_segments``) wraps each op segment in
+    ``jax.checkpoint`` (structured remat): the backward recomputes one
+    segment at a time from its boundary inputs — ~1 extra forward total.
+    Wrapping the WHOLE net in one policy-remat instead (the old
+    ``remat=dots``) measured 4.6x slower on v5e (31.7 vs 146 TF/s): conv
+    outputs aren't 'dots', so each layer's cotangent recomputed a prefix of
+    the block and XLA did not CSE the cascade."""
     import jax.numpy as jnp
     ctx = ctx or LowerCtx(train=True)
     topo = pipe.topo_op_order()
@@ -68,17 +107,62 @@ def build_net_fn(pipe: ConvPipe, out_names: list[str],
 
     import jax
 
-    def net_fn(weights, inputs):
-        vals = dict(inputs)
-        vals.update(weights)
-        new_stats = {}
-        for op_name in topo:
+    def _run_ops(op_names, vals, new_stats):
+        for op_name in op_names:
             op = pipe.ops[op_name]
             if bn_momentum > 0 and op.type == "BatchNorm":
                 outs = _bn_train(op, vals, new_stats)
             else:
                 outs = lowered[op_name](*[vals[b] for b in op.bots])
             vals.update(zip(op.tops, outs))
+
+    if segments is None:
+        def net_fn(weights, inputs):
+            vals = dict(inputs)
+            vals.update(weights)
+            new_stats = {}
+            _run_ops(topo, vals, new_stats)
+            res = {n: vals[n] for n in out_names}
+            if bn_momentum > 0:
+                res["__bn_stats__"] = new_stats
+            return res
+
+        return net_fn
+
+    # structured remat: per-segment in/out name sets, each segment fn
+    # checkpointed (saves only its boundary inputs; internals recomputed
+    # during that segment's backward)
+    need = set(out_names)  # names needed AFTER each segment, built backwards
+    seg_ins: list[set] = [set() for _ in segments]
+    seg_outs: list[set] = [set() for _ in segments]
+    for i in range(len(segments) - 1, -1, -1):
+        prod = {t for op_name in segments[i]
+                for t in pipe.ops[op_name].tops}
+        seg_outs[i] = prod & need
+        cons = {b for op_name in segments[i]
+                for b in pipe.ops[op_name].bots}
+        seg_ins[i] = cons - prod  # bots not produced within the segment
+        need = (need - prod) | seg_ins[i]
+
+    def _make_seg(seg_ops, outs_s):
+        def f(vin):
+            vals = dict(vin)
+            stats = {}
+            _run_ops(seg_ops, vals, stats)
+            return {n: vals[n] for n in outs_s}, stats
+        return jax.checkpoint(f)
+
+    seg_fns = [(_make_seg(s, seg_outs[i]), sorted(seg_ins[i]))
+               for i, s in enumerate(segments)]
+
+    def net_fn(weights, inputs):
+        vals = dict(inputs)
+        vals.update(weights)
+        new_stats = {}
+        for f, ins_s in seg_fns:
+            outs, stats = f({n: vals[n] for n in ins_s})
+            vals.update(outs)
+            new_stats.update(stats)
         res = {n: vals[n] for n in out_names}
         if bn_momentum > 0:
             res["__bn_stats__"] = new_stats
@@ -120,23 +204,33 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
     remat rematerializes the forward during the backward pass
     (jax.checkpoint), trading FLOPs for activation HBM — the standard TPU
     lever for fitting larger batches/deeper nets per chip:
-      "full"  recompute everything (cheapest memory, ~1.3x step FLOPs)
-      "dots"  save matmul/conv outputs, recompute the elementwise tail
-              (checkpoint_dots policy — most of the memory win at a
-              fraction of the recompute)"""
+      "seg"   checkpoint each spatial stage (structured remat: ~1 extra
+              forward total, only boundary activations + one stage's
+              internals live — the recommended form; see build_net_fn)
+      "full"  one whole-net checkpoint: recompute everything (cheapest
+              memory; backward cost grows with net depth)
+      "dots"  whole-net checkpoint_dots policy — MEASURED PATHOLOGICAL on
+              conv nets (v5e: 4.6x slower; conv outputs aren't dots, the
+              per-layer recompute cascade doesn't CSE); kept for
+              completeness, prefer "seg"."""
     import jax
     import jax.numpy as jnp
-    net_fn = build_net_fn(pipe, [logits_node],
-                          LowerCtx(precision=precision, train=True,
-                                   det_drop_seed=42),
-                          bn_momentum=bn_momentum)
-    if remat:
-        policies = {"full": None,
-                    "dots": jax.checkpoint_policies.checkpoint_dots}
-        if remat not in policies:
-            raise ValueError(f"remat must be one of {sorted(policies)} "
-                             f"or '', not {remat!r}")
-        net_fn = jax.checkpoint(net_fn, policy=policies[remat])
+    lctx = LowerCtx(precision=precision, train=True, det_drop_seed=42)
+    if remat == "seg":
+        net_fn = build_net_fn(pipe, [logits_node], lctx,
+                              bn_momentum=bn_momentum,
+                              segments=spatial_segments(pipe))
+    else:
+        net_fn = build_net_fn(pipe, [logits_node], lctx,
+                              bn_momentum=bn_momentum)
+        if remat:
+            policies = {"full": None,
+                        "dots": jax.checkpoint_policies.checkpoint_dots}
+            if remat not in policies:
+                raise ValueError(f"remat must be one of "
+                                 f"{sorted(policies) + ['seg']} "
+                                 f"or '', not {remat!r}")
+            net_fn = jax.checkpoint(net_fn, policy=policies[remat])
 
     def loss_fn(train_w, frozen_w, inputs, labels):
         res = net_fn({**train_w, **frozen_w}, inputs)

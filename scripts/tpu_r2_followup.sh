@@ -45,7 +45,12 @@ run ab_b128_k4 2400 python -m boda_tpu net_ab --model=resnet50 --img=128 \
 run ab_b128_k8 2400 python -m boda_tpu net_ab --model=resnet50 --img=128 \
   --a="$EB)" --b="$EB,batch_split=(r=pool1:res2c_relu:8))"
 
-# 4. per-shape census refresh (kg / halo / tapcat / lib) -> gen_vs_lib.md
+# 4. segmented remat: expect ~25-35% step cost (vs the 4.6x whole-net
+#    'dots' pathology), with the activation-memory win
+run train_bench_seg 1500 python -m boda_tpu train_bench --model=resnet50 \
+  --img=32 --remat=seg
+
+# 5. per-shape census refresh (kg / halo / tapcat / lib) -> gen_vs_lib.md
 run census_bf16 3600 python -m boda_tpu ops_prof \
   --ops-fn=testdata/ops/resnet50-ops-bf16-img32.txt \
   --op-tunes='(kg=(),halo=(use_halo=1),s2d=(use_s2d=1),lib=(use_xla=1))' \

@@ -202,7 +202,7 @@ def test_remat_step_matches_plain():
     w0 = {k: jnp.asarray(w.data) for k, w in pipe.weights.items()}
     loss0, w_p = jax.jit(make_train_step(pipe, logits, lr=0.1,
                                          clip_norm=1.0))(w0, x, labels)
-    for mode in ("full", "dots"):
+    for mode in ("full", "dots", "seg"):
         step_r = jax.jit(make_train_step(pipe, logits, lr=0.1, clip_norm=1.0,
                                          remat=mode))
         loss_r, w_r = step_r(w0, x, labels)
@@ -213,6 +213,36 @@ def test_remat_step_matches_plain():
                                        rtol=1e-6, atol=1e-7, err_msg=k)
     with pytest.raises(ValueError, match="remat must be one of"):
         make_train_step(pipe, logits, remat="bogus")
+
+
+def test_remat_seg_bn_stats_match_plain():
+    """Segmented remat threads train-mode BN running stats across segment
+    boundaries: the EMA'd stats and loss must match the unsegmented step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from boda_tpu.models.zoo import build_mini_resnet
+    from boda_tpu.parallel.train import (find_logits_node, make_train_step,
+                                         spatial_segments)
+    pipe, in_dims = build_mini_resnet(img=2, num_cls=8, in_sz=8)
+    assert len(spatial_segments(pipe)) > 1  # the net must actually segment
+    logits = find_logits_node(pipe)
+    rng = np.random.RandomState(2)
+    x = {"data": rng.randn(*in_dims["data"].shape).astype(np.float32)}
+    labels = np.array([0, 5], dtype=np.int32)
+    w0 = {k: jnp.asarray(w.data) for k, w in pipe.weights.items()}
+    kw = dict(lr=0.1, clip_norm=1.0, bn_momentum=0.1)
+    loss0, w_p = jax.jit(make_train_step(pipe, logits, **kw))(w0, x, labels)
+    loss_r, w_r = jax.jit(make_train_step(pipe, logits, remat="seg",
+                                          **kw))(w0, x, labels)
+    assert float(loss_r) == pytest.approx(float(loss0), rel=1e-6)
+    stats = [k for k in w_p if k.endswith(("__means", "__vars"))]
+    assert stats, "expected BN running-stat weights"
+    for k in list(w_p):
+        np.testing.assert_allclose(np.asarray(w_r[k]), np.asarray(w_p[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
 
 
 def test_remat_composes_with_sharding():
