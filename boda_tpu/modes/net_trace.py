@@ -34,25 +34,57 @@ from ..utils.dims import NDA
 from .cnet import load_net
 
 _OPNAME_RE = re.compile(r'%?([\w.\-]+)\s*=.*metadata=\{[^}]*op_name="([^"]+)"')
+_INSTR_RE = re.compile(r'^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=')
+_CALLS_RE = re.compile(r'calls=%?([\w.\-]+)')
+
+
+def _scope_of(op_name_path: str) -> str:
+    path = op_name_path.split("/")
+    # path like jit(net_fn)/<op_scope>/<prim>[...]; keep the op scope
+    return path[1] if len(path) > 1 and path[0].startswith("jit(") \
+        else path[0]
 
 
 def instr_op_map(hlo_text: str) -> dict[str, str]:
     """HLO instruction name -> graph-op scope (the first named_scope segment
-    after the jit(...) root) from compiled-HLO op_name metadata."""
-    out = {}
+    after the jit(...) root) from compiled-HLO op_name metadata.
+
+    Two passes: direct metadata on the instruction line wins; a fusion/call
+    instruction WITHOUT its own op_name is attributed to the dominant scope
+    inside the computation it calls (majority vote over the fused body's
+    metadata) — without this, layout/epilogue fusions land in '(other)'."""
+    out: dict[str, str] = {}
+    comp_votes: dict[str, dict[str, int]] = {}
+    calls: list[tuple[str, str]] = []  # (instr, called computation)
+    cur = None
     for ln in hlo_text.splitlines():
-        r = _OPNAME_RE.search(ln)
-        if not r:
+        if ln.rstrip().endswith("{") and ") -> " in ln:
+            # computation header: "%name (params) -> type {" / "ENTRY %... {"
+            head = ln.split("(", 1)[0].replace("ENTRY", "").strip()
+            cur = head.lstrip("%").strip()
             continue
-        path = r.group(2).split("/")
-        # path like jit(net_fn)/<op_scope>/<prim>[...]; keep the op scope
-        scope = path[1] if len(path) > 1 and path[0].startswith("jit(") \
-            else path[0]
-        out[r.group(1)] = scope
+        r = _OPNAME_RE.search(ln)
+        if r:
+            scope = _scope_of(r.group(2))
+            out.setdefault(r.group(1), scope)
+            if cur is not None:
+                comp_votes.setdefault(cur, {})
+                comp_votes[cur][scope] = comp_votes[cur].get(scope, 0) + 1
+            continue
+        im = _INSTR_RE.match(ln)
+        cm = _CALLS_RE.search(ln)
+        if im and cm:
+            calls.append((im.group(1), cm.group(1)))
+    for instr, comp in calls:
+        votes = comp_votes.get(comp)
+        if votes and instr not in out:
+            out[instr] = max(votes, key=votes.get)
     return out
 
 
-def aggregate_trace(trace_dir: str, imap: dict[str, str]) -> dict[str, float]:
+def aggregate_trace(trace_dir: str, imap: dict[str, str],
+                    unmapped: dict[str, float] | None = None
+                    ) -> dict[str, float]:
     """Sum device-event durations (us) per graph-op scope across all
     .trace.json.gz dumps under trace_dir. Only events on XLA executor /
     device timelines count (the python thread carries host dispatch spans
@@ -93,6 +125,9 @@ def aggregate_trace(trace_dir: str, imap: dict[str, str]) -> dict[str, float]:
                 if any(c in name for c in " $:"):
                     continue  # runtime/listener marker, not an instruction
                 scope = "(other)"  # device instruction without metadata
+                if unmapped is not None:
+                    unmapped[name] = unmapped.get(name, 0.0) \
+                        + float(e.get("dur", 0.0))
             per[scope] = per.get(scope, 0.0) + float(e.get("dur", 0.0))
     return per
 
@@ -112,6 +147,8 @@ class NetTrace(Mode):
     per_op = Field(bool, default="0",
                    help="print in-net per-op device time from the trace")
     top_k = Field(int, default="20", help="per-op table rows (0=all)")
+    unmapped = Field(int, default="0",
+                     help="also list top-N unattributed '(other)' event names")
 
     def main(self) -> None:
         import jax
@@ -150,7 +187,8 @@ class NetTrace(Mode):
         hlo = jax.jit(raw).lower(dict(eng._weights_dev), ins) \
             .compile().as_text()
         imap = instr_op_map(hlo)
-        per = aggregate_trace(td, imap)
+        um: dict[str, float] = {}
+        per = aggregate_trace(td, imap, unmapped=um if self.unmapped else None)
         tot = sum(per.values())
         rows = sorted(per.items(), key=lambda kv: -kv[1])
         if self.top_k:
@@ -160,3 +198,9 @@ class NetTrace(Mode):
         for scope, us in rows:
             print(f"  {scope:<28} {us / self.n_iters:>10.1f} us/fwd "
                   f"{100.0 * us / max(tot, 1e-9):>5.1f}%")
+        if self.unmapped and um:
+            print(f"top unattributed event names "
+                  f"({len(um)} distinct, {sum(um.values()):.0f}us):")
+            for name, us in sorted(um.items(),
+                                   key=lambda kv: -kv[1])[: self.unmapped]:
+                print(f"  {name:<40} {us / self.n_iters:>10.1f} us/fwd")

@@ -50,7 +50,12 @@ run ab_b128_k8 2400 python -m boda_tpu net_ab --model=resnet50 --img=128 \
 run train_bench_seg 1500 python -m boda_tpu train_bench --model=resnet50 \
   --img=32 --remat=seg
 
-# 5. per-shape census refresh (kg / halo / tapcat / lib) -> gen_vs_lib.md
+# 5. per-op trace with fusion-vote attribution + unmapped census: where do
+#    the non-conv 35% actually go? (the r1 trace had 51% in '(other)')
+run trace_unmapped 1200 python -m boda_tpu net_trace --model=resnet50 \
+  --img=32 --per-op=1 --top-k=40 --unmapped=25 --boda-output-dir="$LOG"
+
+# 6. per-shape census refresh (kg / halo / tapcat / lib) -> gen_vs_lib.md
 run census_bf16 3600 python -m boda_tpu ops_prof \
   --ops-fn=testdata/ops/resnet50-ops-bf16-img32.txt \
   --op-tunes='(kg=(),halo=(use_halo=1),s2d=(use_s2d=1),lib=(use_xla=1))' \
