@@ -55,7 +55,20 @@ run train_bench_seg 1500 python -m boda_tpu train_bench --model=resnet50 \
 run trace_unmapped 1200 python -m boda_tpu net_trace --model=resnet50 \
   --img=32 --per-op=1 --top-k=40 --unmapped=25 --boda-output-dir="$LOG"
 
-# 6. per-shape census refresh (kg / halo / tapcat / lib) -> gen_vs_lib.md
+# 6. localize the large-batch pathology: per-op trace at b64/b128 (batch
+#    scaling REGRESSES vs b32 on honest timing — find the superlinear stage)
+run trace_b64 1200 python -m boda_tpu net_trace --model=resnet50 \
+  --img=64 --per-op=1 --top-k=40 --unmapped=15 --boda-output-dir="$LOG" \
+  --trace-dir=trace64
+run trace_b128 1200 python -m boda_tpu net_trace --model=resnet50 \
+  --img=128 --per-op=1 --top-k=40 --unmapped=15 --boda-output-dir="$LOG" \
+  --trace-dir=trace128
+
+# 7. stem_s2d decisive median: 7 independent in-program A/B repeats
+run stem_ab_median 3600 bash -c 'for i in 1 2 3 4 5 6 7; do \
+  python scripts/exp_stem_ab.py 2>&1 | tail -2; done'
+
+# 8. per-shape census refresh (kg / halo / tapcat / lib) -> gen_vs_lib.md
 run census_bf16 3600 python -m boda_tpu ops_prof \
   --ops-fn=testdata/ops/resnet50-ops-bf16-img32.txt \
   --op-tunes='(kg=(),halo=(use_halo=1),s2d=(use_s2d=1),lib=(use_xla=1))' \
