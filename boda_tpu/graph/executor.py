@@ -1266,7 +1266,23 @@ class PallasFwd(FwdEngine):
             for k, v in inputs.items():
                 if cdt is not None and jnp.issubdtype(v.dtype, jnp.floating):
                     v = v.astype(cdt)
-                vals[k] = v.transpose(0, 2, 3, 1) if is4d.get(k) else v
+                if is4d.get(k):
+                    # native-layout ingestion: a 4D input whose shape is the
+                    # NHWC permutation of the logical NCHW dims (and NOT the
+                    # logical shape itself) is already in the engine's
+                    # internal layout — the production loader emits decoded
+                    # images as NHWC batches directly (HWC is the natural
+                    # decode layout), skipping the per-forward transpose.
+                    # Ambiguous shapes (logical == permuted) stay logical.
+                    ld = pipe.must_dims(k).shape
+                    nhwc = (ld[0], ld[2], ld[3], ld[1])
+                    if tuple(v.shape) == ld:
+                        v = v.transpose(0, 2, 3, 1)
+                    elif tuple(v.shape) != nhwc:
+                        raise PipeError(
+                            f"input {k!r}: shape {tuple(v.shape)} is neither "
+                            f"logical NCHW {ld} nor native NHWC {nhwc}")
+                vals[k] = v
             # prune to the subgraph reaching out_names from the provided
             # inputs (mid-graph inputs like pool1 supported; chain tops count
             # as the chain's only produced value)

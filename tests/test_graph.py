@@ -90,6 +90,32 @@ def test_engine_runs_small_net(engine):
     assert outs["conv1_relu"].data.min() >= 0.0
 
 
+def test_native_nhwc_input_matches_logical():
+    """The NHWC engine ingests native-layout (NHWC, compute-dtype) inputs —
+    the production loader's decode layout — bit-identically to the logical
+    NCHW path; a wrong-shape input raises with both shapes named."""
+    from boda_tpu.graph.executor import PipeError
+    from boda_tpu.utils.dims import Dims
+    pipe, in_dims = small_net()
+    eng = make("conv_fwd", "pallas", compute_tn="bfloat16")
+    eng.init(pipe)
+    d = in_dims["data"]
+    rng = np.random.RandomState(3)
+    x = rng.randn(*d.shape).astype(np.float32)
+    ref = eng.run_fwd({"data": NDA(d, x)}, ["prob"])["prob"].data
+    import ml_dtypes
+    nd = Dims.of(img=d["img"], y=d["y"], x=d["x"], chan=d["chan"],
+                 tn="bfloat16")
+    xn = x.astype(ml_dtypes.bfloat16).transpose(0, 2, 3, 1)
+    out = eng.run_fwd({"data": NDA(nd, np.ascontiguousarray(xn))},
+                      ["prob"])["prob"].data
+    np.testing.assert_array_equal(out, ref)
+    bad = Dims.of(img=d["img"], y=d["y"], x=d["x"] + 1, chan=d["chan"],
+                  tn="bfloat16")
+    with pytest.raises(PipeError, match="neither logical NCHW"):
+        eng.run_fwd({"data": NDA(bad)}, ["prob"])
+
+
 def test_xla_vs_pallas_per_layer():
     """Cross-engine per-layer regression (the test_compute methodology)."""
     pipe, in_dims = small_net()
