@@ -58,8 +58,10 @@ def ab_model(model, img=32):
 
 
 def main():
-    res = [ab_model("resnet50", 32), ab_model("alexnet_ng_conv", 32),
-           ab_model("googlenet_conv", 32)]
+    only = os.environ.get("SWEEP_ONLY", "")
+    models = [only] if only else ["resnet50", "alexnet_ng_conv",
+                                  "googlenet_conv"]
+    res = [ab_model(m, 32) for m in models]
     print(json.dumps(res))
 
 
