@@ -31,6 +31,7 @@ class NetTune(Mode):
                                "big=(use_xla=0,bm=512,bn=512,bk=256),"
                                "nohalo=(use_xla=0,use_halo=0),"
                                "ch8=(use_xla=0,chunk=8),"
+                               "tcat=(use_xla=0,tap_cat=1),"
                                "stem=(use_xla=1,stem_s2d=1))",
                        help="tune candidates per signature group")
     max_groups = Field(int, default="0", help="limit swept groups (0=all, hottest first)")

@@ -209,10 +209,12 @@ class HaloBlocks:
     wp: int         # width after folding column pad + rounding to 8
     owp: int        # kernel output width from wp (>= ow; sliced after)
     nb: int = 1     # images per block (r==1 stride-1 only; lifts matmul M)
+    kxb: bool = False  # kx-shifted tap-cat buffers (sub-32-bit deep-K path)
 
     def __str__(self):
         return f"boy={self.boy} boc={self.boc}x{self.jn}" + \
-            (f" nb={self.nb}" if self.nb > 1 else "")
+            (f" nb={self.nb}" if self.nb > 1 else "") + \
+            (" kxb" if self.kxb else "")
 
 
 def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
@@ -233,9 +235,20 @@ def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
     if (sy, sx) != (1, 1) and not is_f32:
         return None  # bf16 strided reshape-trick crashes Mosaic (see header)
     itemsize = 4 if is_f32 else 2
-    wp = round_up(w + 2 * px, 8)       # folded column pad (see module header)
-    wp = round_up(wp, sx * 8) if sx > 1 else wp  # stride reshape needs wp%sx==0
-    owp = (wp - kw) // sx + 1
+    # kx-buffered tap_cat (kxb): the sub-32-bit deep-K form. The roll-based
+    # tap_cat is 32-bit only (Mosaic: no sub-32-bit dynamic_rotate, and bf16
+    # packed-layout concat hits sublane-offset mismatches). kxb sidesteps
+    # both: the kw column shifts happen in the DMA *source* slices (one
+    # shifted VMEM buffer per kx; destinations stay full rows), and only
+    # ky-slices — which share sublane offsets — are concatenated in-kernel.
+    kxb = bool(tune.tap_cat) and (sy, sx) == (1, 1) and itemsize == 2
+    if kxb:
+        owp = round_up(ow, 8)              # per-kx buffer width (8-multiple)
+        wp = round_up(max(w + 2 * px, kw - 1 + owp), 8)  # src slices in range
+    else:
+        wp = round_up(w + 2 * px, 8)   # folded column pad (see module header)
+        wp = round_up(wp, sx * 8) if sx > 1 else wp  # stride reshape: wp%sx==0
+        owp = (wp - kw) // sx + 1
     if owp < ow:
         return None  # cannot happen (wp >= w + 2*px), defensive
     # oc <= 128 (f32): exact sub-128 lane block — no channel padding, no
@@ -275,25 +288,28 @@ def conv_halo_blocks(ind: Dims, fd: Dims, od: Dims, stride, pad,
         else:
             nbs = [1]
         for nb in nbs:
-            x_blk = nb * xrp * wp * c * itemsize
+            x_blk = (kw * xr * owp if kxb else nb * xrp * wp) * c * itemsize
             for boc in (ocp, *range(((ocp // 128) - 1) * 128, 0, -128)):
                 if ocp % boc:
                     continue
-                if nb * boy * wp * boc * 4 > _HALO_TEMP_CAP:
-                    continue  # Mosaic aborts on huge unrolled tap values
+                acc_sz = (boy * owp if kxb else nb * boy * wp) * boc * 4
+                if acc_sz > _HALO_TEMP_CAP:
+                    continue  # Mosaic aborts on huge unrolled values
                 jn = ocp // boc
                 w_blk = kh * kw * c * boc * itemsize
                 out_blk = nb * boy * owp * boc * itemsize
-                # per-tap f32 temps
-                z_tmp = nb * (boy * wp * boc + boy * owp * boc) * 4
-                if tune.tap_cat and (sy, sx) == (1, 1) and itemsize == 4:
-                    # gathered (boy*owp, kh*kw*c) operand lives alongside;
-                    # pallas_conv2d_halo only enables tap_cat for 32-bit
-                    # dtypes, so don't charge the budget for sub-32
-                    z_tmp += boy * owp * kh * kw * c * itemsize
+                if kxb:
+                    # gathered (boy*owp, kh*kw*c) operand + the f32 acc
+                    z_tmp = boy * owp * (kh * kw * c * itemsize + boc * 4)
+                else:
+                    # per-tap f32 temps
+                    z_tmp = nb * (boy * wp * boc + boy * owp * boc) * 4
+                    if tune.tap_cat and (sy, sx) == (1, 1) and itemsize == 4:
+                        # roll-based tap_cat: gathered operand lives alongside
+                        z_tmp += boy * owp * kh * kw * c * itemsize
                 if 2 * x_blk + 2 * w_blk + 2 * out_blk + z_tmp <= _VMEM_BUDGET:
                     return HaloBlocks(boy=boy, boc=boc, jn=jn, xr=xr, xrp=xrp,
-                                      r=r, wp=wp, owp=owp, nb=nb)
+                                      r=r, wp=wp, owp=owp, nb=nb, kxb=kxb)
     return None
 
 
@@ -338,6 +354,48 @@ def _halo_dma_variants(x_hbm, xbuf, sem, tt, slot, *, r, boy, sy, py, xr, h,
             go(start, xr, 0)
 
 
+def _halo_dma_kx(x_hbm, xbuf, sem, tt, slot, *, kw, owp, r, boy, py, xr, h,
+                 bz, action):
+    """kx-shifted row-window DMAs (kxb tap_cat, stride-1): kw copies per
+    window, one per filter column, each reading the column slice
+    [kx, kx+owp) of the padded input into its own full-row buffer
+    xbuf[slot, kx]. Destinations are full rows (the Mosaic constraint);
+    the column shift lives entirely in the *source* slice."""
+    n = tt // r
+    i = jax.lax.rem(tt, r)
+    start = i * boy - py
+
+    def go(src_lo, n_rows, dst_lo):
+        for kx in range(kw):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[n, pl.ds(src_lo, n_rows), pl.ds(kx, owp)],
+                xbuf.at[slot, kx, pl.ds(dst_lo, n_rows)],
+                sem.at[slot, kx])
+            cp.start() if action == "start" else cp.wait()
+
+    if r == 1:  # single block: top and bottom clipping combined
+        go(0, min(xr - py, h), py)
+        return
+
+    @pl.when(i == 0)
+    def _top():
+        go(0, min(xr - py, h), py)
+
+    if bz > 0:
+        @pl.when(i == r - 1)
+        def _bot():
+            go(start, xr - bz, 0)
+
+        if r > 2:
+            @pl.when((i > 0) & (i < r - 1))
+            def _mid():
+                go(start, xr, 0)
+    else:
+        @pl.when(i > 0)
+        def _mid():
+            go(start, xr, 0)
+
+
 def _halo_dma_nb(x_hbm, xbuf, sem, tt, slot, *, nb, py, xr, h, action):
     """Multi-image window DMA (r==1 only): one contiguous copy of the full
     (clipped) row window of `nb` consecutive images into the batched buffer."""
@@ -351,7 +409,7 @@ def _halo_dma_nb(x_hbm, xbuf, sem, tt, slot, *, nb, py, xr, h, action):
 
 def _conv_halo_kernel(x_hbm, w_ref, b_ref, *rest, kh, kw, sy, sx, boy, owp,
                       py, h, wp, r, n_t, bz, xrp, precision, relu, has_res,
-                      tap_cat=False, nb=1):
+                      tap_cat=False, nb=1, kxb=False):
     if has_res:
         res_ref, o_ref, xbuf, sem = rest
     else:
@@ -362,7 +420,11 @@ def _conv_halo_kernel(x_hbm, w_ref, b_ref, *rest, kh, kw, sy, sx, boy, owp,
     j = pl.program_id(1)
     i = jax.lax.rem(t, r)
     slot = jax.lax.rem(t, 2)
-    if nb > 1:
+    if kxb:
+        dma_kw = dict(kw=kw, owp=owp, r=r, boy=boy, py=py,
+                      xr=(boy - 1) * sy + kh, h=h, bz=bz)
+        dma = _halo_dma_kx
+    elif nb > 1:
         dma_kw = dict(nb=nb, py=py, xr=(boy - 1) * sy + kh, h=h)
         dma = _halo_dma_nb
     else:
@@ -406,6 +468,34 @@ def _conv_halo_kernel(x_hbm, w_ref, b_ref, *rest, kh, kw, sy, sx, boy, owp,
         o_ref[...] = acc.astype(o_ref.dtype)
         return
 
+    if kxb:
+        # kx-buffered deep-K form (stride-1, sub-32-bit; gated in blocks):
+        # each xbuf[slot, kx] already holds the kx-shifted window at column
+        # offset 0 (the DMA sources did the shifting), so only ky row-slices
+        # — which share sublane offsets and therefore concatenate cleanly —
+        # are gathered here, into one (boy*owp, kh*kw*c) operand for a
+        # single deep-K MXU pass (same insight as tap_cat below, without
+        # the sub-32-bit rotate Mosaic cannot compile).
+        base0 = i * boy
+        views = []
+        for ky in range(kh):
+            rows = jax.lax.broadcasted_iota(jnp.int32, (boy, owp, 1), 0) \
+                + base0 + ky
+            m = (rows >= py) & (rows < py + h)
+            for kx in range(kw):
+                xk = xbuf[slot, kx, ky:ky + boy]
+                views.append(jnp.where(m, xk, jnp.zeros((), xk.dtype)))
+        xcat = jnp.concatenate(views, axis=2).reshape(boy * owp, kh * kw * c)
+        wcat = w_ref[:].reshape(kh * kw * c, boc)
+        acc = jnp.dot(xcat, wcat, preferred_element_type=jnp.float32,
+                      precision=precision).reshape(boy, owp, boc)
+        acc = acc + b_ref[0].astype(jnp.float32)
+        if has_res:
+            acc = acc + res_ref[0].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        o_ref[0] = acc.astype(o_ref.dtype)
+        return
     acc = jnp.zeros((boy, owp, boc), jnp.float32)
     base = i * boy * sy
     if tap_cat:
@@ -530,24 +620,32 @@ def pallas_conv2d_halo(x, wt, bias, *, stride=(1, 1), pad=(0, 0),
         in_specs.append(io_spec)
         args.append(residual)
 
+    if hb.kxb:
+        scratch = [pltpu.VMEM((2, kw, hb.xr, owp, c), x.dtype),
+                   pltpu.SemaphoreType.DMA((2, kw))]
+    elif nb > 1:
+        scratch = [pltpu.VMEM((2, nb, xrp, wp, c), x.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        scratch = [pltpu.VMEM((2, xrp, wp, c), x.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
     out = pl.pallas_call(
         functools.partial(
             _conv_halo_kernel, kh=kh, kw=kw, sy=sy, sx=sx, boy=boy, owp=owp,
             py=py, h=h, wp=wp, r=r, n_t=n_t, bz=bz, xrp=xrp,
             precision=PRECISIONS[precision],
             relu=relu, has_res=residual is not None,
-            # tap_cat: stride-1, 32-bit only (Mosaic: no sub-32-bit rotate,
-            # and bf16 packed-layout concat hits the offset-mismatch error)
-            tap_cat=(tap_cat and (sy, sx) == (1, 1)
+            # roll-based tap_cat: stride-1, 32-bit only (Mosaic: no
+            # sub-32-bit rotate, and bf16 packed-layout concat hits the
+            # offset-mismatch error); sub-32-bit takes the kxb form instead
+            tap_cat=(tap_cat and (sy, sx) == (1, 1) and not hb.kxb
                      and jnp.dtype(x.dtype).itemsize == 4),
-            nb=nb),
+            nb=nb, kxb=hb.kxb),
         grid=(n_t, jn),
         in_specs=in_specs,
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct((n, ohp, owp, ocp), x.dtype),
-        scratch_shapes=[pltpu.VMEM((2, nb, xrp, wp, c), x.dtype)
-                        if nb > 1 else pltpu.VMEM((2, xrp, wp, c), x.dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(

@@ -135,7 +135,40 @@ def test_tap_cat_5x5_residual():
 
 
 def test_tap_cat_bf16():
-    _run(2, 14, 14, 128, 3, 256, dt=jnp.bfloat16, tap_cat=True)
+    # sub-32-bit tap_cat takes the kx-buffered (kxb) form: kw column-shifted
+    # DMA buffers + ky-slice channel concat -> one deep-K matmul
+    hb = _run(2, 14, 14, 128, 3, 256, dt=jnp.bfloat16, tap_cat=True)
+    assert hb.kxb, hb
+
+
+def test_kxb_multi_row_blocks():
+    # r>1 (chunked rows): interior/top/bottom DMA variants with kx shifts
+    hb = _run(1, 28, 28, 128, 3, 128, dt=jnp.bfloat16, tap_cat=True, chunk=8)
+    assert hb.kxb and hb.r == 4, hb
+
+
+def test_kxb_tail_masked_padded_oc():
+    # oh=13 (masked tail rows) + oc=192 -> ocp=256 slice-off
+    hb = _run(1, 13, 13, 128, 3, 192, p=(1, 1), dt=jnp.bfloat16, tap_cat=True)
+    assert hb.kxb, hb
+
+
+def test_kxb_residual_5x5():
+    hb = _run(1, 14, 14, 128, 5, 128, p=(2, 2), dt=jnp.bfloat16, res=True,
+              tap_cat=True)
+    assert hb.kxb, hb
+
+
+def test_kxb_no_pad():
+    # p=0: owp (16) rounds above ow (14); wp must cover kw-1+owp source cols
+    hb = _run(2, 16, 16, 128, 3, 128, p=(0, 0), dt=jnp.bfloat16, tap_cat=True)
+    assert hb.kxb, hb
+
+
+def test_kxb_f32_keeps_roll_form():
+    # 32-bit tap_cat stays on the measured roll-based form
+    hb = _run(2, 16, 16, 128, 3, 128, tap_cat=True)
+    assert not hb.kxb, hb
 
 
 def test_tap_cat_strided_falls_back():
