@@ -39,9 +39,12 @@ def main() -> int:
     ctn = os.environ.get("BENCH_TN", "bfloat16")
     policy = os.environ.get("BENCH_POLICY", "lib")
     # per-op wisdom overrides (re-swept per engine-fusion fingerprint).
-    # Default: the committed flagship wisdom (net_tune-accepted wins on the
-    # real device, e.g. the stem_s2d fold). Records are keyed by platform +
-    # fusion fingerprint, so on any other device/config they simply miss.
+    # Default: the committed flagship wisdom IF present. Currently absent:
+    # the stem_s2d fold it used to carry measured a median 0.89x across 5
+    # independent in-program A/Bs (scripts/exp_stem_ab.py, v5e 2026-08) —
+    # the earlier +4.3% read did not replicate, so the record was removed.
+    # Records are keyed by platform + fusion fingerprint, so on any other
+    # device/config they simply miss.
     flagship_wis = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "testdata", "wisdom", "flagship.wis")
     wisdom = os.environ.get(
@@ -62,10 +65,14 @@ def main() -> int:
     from boda_tpu.ops.kernels.gen_data import gen_data_pattern
     from boda_tpu.utils.dims import NDA
 
-    # native input ingestion: feed the batch as NHWC in the compute dtype
-    # (what the production loader emits — HWC is the natural decode layout),
-    # skipping the per-forward transpose+convert inside the jit
-    native = os.environ.get("BENCH_NATIVE", "") == "1"
+    # native input ingestion (default ON): feed the batch as NHWC in the
+    # compute dtype (what the production loader emits — HWC is the natural
+    # decode layout), skipping the per-forward transpose+convert inside the
+    # jit. The NCHW->NHWC relayout with C=3 on the minor dim is a
+    # pathological TPU transpose: in-program A/B measured the native path
+    # 0.99-1.24x (median ~1.13x) whole-net on v5e (scripts/exp_native_ab.py).
+    # BENCH_NATIVE=0 reverts to logical NCHW f32 inputs.
+    native = os.environ.get("BENCH_NATIVE", "1") == "1"
 
     pipe, in_dims = build_model(model, img=img)
     kw = {}
