@@ -16,14 +16,22 @@ IMAGENET_MEAN_BGR = (104.0, 117.0, 123.0)
 
 
 def img_to_batch_jax(rgba_u8, mean_bgr=IMAGENET_MEAN_BGR, scale: float = 1.0,
-                     out_dtype=None):
-    """(img, y, x, 4) uint8 RGBA -> (img, 3, y, x) float NCHW, BGR order,
-    mean-subtracted. Jax-traceable; runs on device under jit."""
+                     out_dtype=None, layout: str = "nchw"):
+    """(img, y, x, 4) uint8 RGBA -> mean-subtracted BGR float batch.
+    Jax-traceable; runs on device under jit. layout='nchw' emits the logical
+    (img, 3, y, x) batch; layout='nhwc' emits (img, y, x, 3) — the NHWC
+    engine's native ingestion layout, skipping the device-side relayout
+    entirely (the C=3-minor NCHW<->NHWC transpose is a pathologically slow
+    TPU relayout; see scripts/exp_native_ab.py)."""
     import jax.numpy as jnp
     out_dtype = out_dtype or jnp.float32
     x = rgba_u8.astype(jnp.float32)
-    bgr = jnp.stack([x[..., 2], x[..., 1], x[..., 0]], axis=1)  # (img,3,y,x)
-    mean = jnp.asarray(mean_bgr, dtype=jnp.float32).reshape(1, 3, 1, 1)
+    if layout == "nhwc":
+        bgr = x[..., 2::-1]                                  # RGBA -> BGR
+        mean = jnp.asarray(mean_bgr, jnp.float32).reshape(1, 1, 1, 3)
+    else:
+        bgr = jnp.stack([x[..., 2], x[..., 1], x[..., 0]], axis=1)  # (img,3,y,x)
+        mean = jnp.asarray(mean_bgr, dtype=jnp.float32).reshape(1, 3, 1, 1)
     return ((bgr - mean) * scale).astype(out_dtype)
 
 

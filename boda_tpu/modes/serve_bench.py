@@ -54,8 +54,13 @@ class ServeBench(Mode):
         d = in_dims["data"]
         net_fn = eng.build_raw_fn([self.out_node_name])
 
+        # NHWC engine: preprocess straight into the engine's native layout
+        # (no NCHW round-trip on device; run_fwd/build_raw_fn shape-detect it)
+        layout = "nhwc" if getattr(eng, "layout", "") == "nhwc" else "nchw"
+        cdt = getattr(eng, "compute_tn", "") or None
+
         def serve_fn(weights, rgba_u8):
-            x = img_to_batch_jax(rgba_u8)
+            x = img_to_batch_jax(rgba_u8, layout=layout, out_dtype=cdt)
             return net_fn(weights, {"data": x})[self.out_node_name]
 
         served = jax.jit(serve_fn)

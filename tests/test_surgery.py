@@ -120,6 +120,31 @@ def test_serve_bench_mode(tmp_path, capsys):
     assert '"img_per_sec"' in capsys.readouterr().out
 
 
+def test_serve_bench_nhwc_native_layout(tmp_path, capsys):
+    # NHWC pallas engine: preprocessing emits the engine's native (img,y,x,3)
+    # layout directly (no device-side NCHW round trip)
+    from boda_tpu.utils.native import native_available
+    if not native_available():
+        pytest.skip("no native lib")
+    rc = main(["serve_bench", "--model=mini_resnet",
+               "--img-fns=(a=/root/repo/testdata/images/test2.jpg)",
+               "--img=2", "--n-batches=2",
+               "--conv-fwd=(mode=pallas,compute_tn=bfloat16)",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    assert '"img_per_sec"' in capsys.readouterr().out
+
+
+def test_preproc_nhwc_matches_nchw():
+    import numpy as np
+
+    from boda_tpu.apps.preproc import img_to_batch_jax
+    rgba = np.random.RandomState(0).randint(0, 256, (2, 6, 5, 4), np.uint8)
+    nchw = np.asarray(img_to_batch_jax(rgba))
+    nhwc = np.asarray(img_to_batch_jax(rgba, layout="nhwc"))
+    np.testing.assert_array_equal(nhwc.transpose(0, 3, 1, 2), nchw)
+
+
 def test_cnet_bpt_dump(tmp_path, capsys):
     from boda_tpu.cli import main
     rc = main(["cnet_bpt_dump",
