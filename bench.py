@@ -71,8 +71,13 @@ def main() -> int:
     # jit. The NCHW->NHWC relayout with C=3 on the minor dim is a
     # pathological TPU transpose: in-program A/B measured the native path
     # 0.99-1.24x (median ~1.13x) whole-net on v5e (scripts/exp_native_ab.py).
-    # BENCH_NATIVE=0 reverts to logical NCHW f32 inputs.
-    native = os.environ.get("BENCH_NATIVE", "1") == "1"
+    # BENCH_NATIVE=0 reverts to logical NCHW f32 inputs; BENCH_NATIVE=s2d
+    # additionally pre-folds the batch to the stem_s2d layout on the host
+    # (engine input_s2d=1 — the loader-side space-to-depth that turns the
+    # starved-C stem conv into a stride-1 conv with zero device relayout).
+    native_env = os.environ.get("BENCH_NATIVE", "1")
+    native = native_env in ("1", "s2d")
+    in_s2d = native_env == "s2d"
 
     pipe, in_dims = build_model(model, img=img)
     kw = {}
@@ -86,16 +91,23 @@ def main() -> int:
             kw["int8"] = True
         if calib:
             kw["calib_fn"] = calib
+    if in_s2d and engine == "pallas":
+        kw["input_s2d"] = True
     eng = make("conv_fwd", engine, precision=prec, compute_tn=ctn, **kw)
     eng.init(pipe)
     d = in_dims["data"]
     x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
     if native and engine == "pallas":
         from boda_tpu.utils.dims import Dims
-        nd = Dims.of(img=d["img"], y=d["y"], x=d["x"], chan=d["chan"],
-                     tn=(ctn or d.tn))
-        x = NDA(nd, np.ascontiguousarray(
-            x.data.transpose(0, 2, 3, 1)))
+        xh = np.ascontiguousarray(x.data.transpose(0, 2, 3, 1))
+        if in_s2d:
+            xh = eng.host_input_s2d("data", xh)
+            nd = Dims.of(img=xh.shape[0], y=xh.shape[1], x=xh.shape[2],
+                         chan=xh.shape[3], tn=(ctn or d.tn))
+        else:
+            nd = Dims.of(img=d["img"], y=d["y"], x=d["x"], chan=d["chan"],
+                         tn=(ctn or d.tn))
+        x = NDA(nd, xh)
     # correctness guard: prob must be a valid distribution
     outs = eng.run_fwd({"data": x}, ["prob"])
     psum = float(outs["prob"].data.sum(axis=1).mean())

@@ -237,7 +237,10 @@ class FwdEngine:
         propagates activation shardings and inserts collectives over ICI."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
-        w_sh = {k: self._weight_sharding(k) for k in self.pipe.weights}
+        # shard map over the ACTUAL uploaded dict: prefolded entries
+        # (X__folded) inherit their source weight X's sharding
+        w_sh = {k: self._weight_sharding(k.removesuffix("__folded"))
+                for k in self._weights_dev}
         in_sh = {n: self._input_sharding(self.pipe.must_dims(n))
                  for n in in_names}
         out_sh = {n: self._input_sharding(self.pipe.must_dims(n))
@@ -500,6 +503,27 @@ class PallasFwd(FwdEngine):
     # (XLA cannot fuse across its conv calls — this is a generated-kernel
     # capability, applied even under the lib policy when it wins).
     fuse_block = Field(bool, default="0", help="fuse residual bottleneck blocks")
+    # constant-fold BN/Scale into conv weights ONCE at weight upload (one
+    # jitted fold over the uploaded weights — numerically identical to the
+    # in-jit fold it replaces) instead of re-folding inside every forward.
+    # The in-jit fold costs a full read+scale+write of every fused conv's
+    # weights per dispatch — batch-INDEPENDENT device time (~25M weights on
+    # resnet50; net_trace attributed ~110us/fwd of bare convert_element_type
+    # plus the scale multiplies at b32 on v5e). Inference weights are frozen,
+    # so the fold is a constant of the engine build. Disabled automatically
+    # for backward graphs (gradients must flow through the unfolded params).
+    prefold = Field(bool, default="1", help="fold BN/Scale at upload, not per-forward")
+    # host-side stem space-to-depth: the data loader feeds the net input
+    # ALREADY in the stem_s2d folded layout (N, oy+m-1, ox+m-1, s*s*C), so
+    # the starved-C stem conv (7x7s2 C=3 -> MXU wastes the 128-deep contract
+    # dim) becomes a stride-1 conv over s*s*C channels with NO per-forward
+    # device-side rearrange (the in-jit fold's pad+minor-dim transpose is
+    # what erased stem_s2d's standalone 1.35x win whole-net). The fold is a
+    # pure relayout the loader performs at decode time (host_input_s2d).
+    # Forces tune.stem_s2d=1 on the qualifying input conv; logical-layout
+    # and plain-NHWC inputs remain accepted (the fold then runs in-jit).
+    input_s2d = Field(bool, default="0",
+                      help="accept net input pre-folded to the stem_s2d layout")
     # int8 MXU inference: dynamic symmetric quantization of conv/fc compute
     # (per-tensor act scales, per-out-channel weight scales, int32 acc).
     # See OpTune.int8 — this sets the engine-wide default; per-op tunes can
@@ -547,6 +571,8 @@ class PallasFwd(FwdEngine):
                self.compute_tn, self.precision, bool(self.int8),
                self.kernel_policy) + \
             ((("block",) if self.fuse_block else ())) + \
+            ((("prefold",) if self.prefold else ())) + \
+            ((("input_s2d",) if self.input_s2d else ())) + \
             (tuple(sorted(map(str, self.batch_split)))
              if self.batch_split else ())
         return f"{stable_hash(repr(cfg)) & 0xFFFFFFFF:08x}"
@@ -644,6 +670,10 @@ class PallasFwd(FwdEngine):
             self._info_log.append(
                 f"{op_name}: tp>1 forces use_xla (gen tune deferred)")
             tune = dataclasses.replace(tune, use_xla=True)
+        # input_s2d stems MUST lower via the stem_s2d rule (the pre-folded
+        # input shape only matches that rule's conv) — wins over wisdom/policy
+        if op_name in getattr(self, "_input_s2d_ops", ()):
+            tune = dataclasses.replace(tune, stem_s2d=1)
         return tune
 
     def _build_sharded_fn(self, raw, in_names, out_names) -> Callable:
@@ -672,7 +702,9 @@ class PallasFwd(FwdEngine):
         params = inspect.signature(shard_map).parameters
         rep_kw = {"check_vma": False} if "check_vma" in params \
             else {"check_rep": False}
-        w_specs = {k: P() for k in self.pipe.weights}
+        # specs over the ACTUAL uploaded dict (prefolded entries included —
+        # all weights are replicated under dp-only shard_map)
+        w_specs = {k: P() for k in self._weights_dev}
         in_specs = {n: P("dp") for n in in_names}
         out_specs = {n: P("dp") for n in out_names}
         smapped = shard_map(raw, mesh=self._mesh, in_specs=(w_specs, in_specs),
@@ -802,6 +834,16 @@ class PallasFwd(FwdEngine):
                 self.layout == "nhwc" and not pipe.bck_added and \
                 not self.train and not tp_sharded:
             self._detect_blocks(pipe)
+        # prefold (see the Field doc): folds become upload-time constants.
+        # bck graphs keep the in-jit fold — BN/Scale grads flow through it.
+        self._prefold_on = bool(self.prefold) and not pipe.bck_added
+        self._prefold_plan = {}   # folded-w key -> (w_key, b_key, param_keys, fold)
+        self._prefold_keys = {}   # conv op name -> (folded w key, folded b key)
+        # input_s2d (see the Field doc): net input node -> stem fold geometry
+        self._input_s2d: dict[str, dict] = {}
+        self._input_s2d_ops: set[str] = set()
+        if self.input_s2d and self.layout == "nhwc" and not pipe.bck_added:
+            self._detect_input_s2d(pipe)
         for op_name in pipe.topo_op_order():
             op = pipe.ops[op_name]
             self._lowered[op_name] = self._lower(pipe, op, ctx, fused=False)
@@ -812,6 +854,42 @@ class PallasFwd(FwdEngine):
                 self._lowered_fused[op_name] = self._lower_chain(
                     pipe, op, self._chains[op_name], ctx)
         self._upload_weights()
+
+    def _detect_input_s2d(self, pipe: ConvPipe) -> None:
+        """Find net inputs whose single consumer is a stem conv qualifying
+        for the space-to-depth fold (stem_s2d_geom); those inputs may then
+        arrive pre-folded from the host loader (see the input_s2d Field)."""
+        from .lowering_nhwc import stem_s2d_geom
+        for n in pipe.bots():
+            consumers = list(pipe.nodes[n].bot_for)
+            if len(consumers) != 1:
+                continue
+            op = pipe.ops[consumers[0]]
+            if op.type != "Convolution" or op.bots[0] != n:
+                continue
+            geom = stem_s2d_geom(pipe.must_dims(n),
+                                 pipe.must_dims(op.tops[0]), op.stride(),
+                                 op.pad(), op.kern_sz(), op.dilation(),
+                                 int(op.p("groups", 1)))
+            if geom is None:
+                continue
+            self._input_s2d[n] = geom
+            self._input_s2d_ops.add(op.name)
+            self._info_log.append(
+                f"{op.name}: input_s2d on {n!r} -> "
+                f"(*, {geom['xs_h']}, {geom['xs_w']}, "
+                f"{geom['sb'] ** 2 * geom['cin']})")
+
+    def host_input_s2d(self, node: str, x_nhwc):
+        """Host-side (numpy) fold of an NHWC batch into the pre-folded
+        stem_s2d layout the engine accepts for `node` under input_s2d=1 —
+        what the production loader runs at decode time."""
+        from .lowering_nhwc import host_stem_s2d
+        geom = self._input_s2d.get(node)
+        if geom is None:
+            raise PipeError(f"input {node!r} has no input_s2d fold "
+                            f"(have {sorted(self._input_s2d)})")
+        return host_stem_s2d(x_nhwc, geom)
 
     def _detect_blocks(self, pipe: ConvPipe) -> None:
         """Find residual bottlenecks: convA(1x1 s1)+BN/Sc+ReLU ->
@@ -892,22 +970,31 @@ class PallasFwd(FwdEngine):
         from ..ops.cnn_variants import ctx_interp
         from ..ops.kernels.block import pallas_bottleneck
         opB, opC = pipe.ops[block["b"]], pipe.ops[block["c"]]
-        foldA, nA = self._make_fold(pipe, opA, block["a_chain"])
-        foldB, nB = self._make_fold(pipe, opB, block["b_chain"])
-        foldC, nC = self._make_fold(pipe, opC, block["c_chain"])
+        foldA, nA, fkA = self._make_fold(pipe, opA, block["a_chain"])
+        foldB, nB, fkB = self._make_fold(pipe, opB, block["b_chain"])
+        foldC, nC, fkC = self._make_fold(pipe, opC, block["c_chain"])
+        if self._register_prefold(opA, foldA, fkA):
+            foldA, nA = None, 0
+        if self._register_prefold(opB, foldB, fkB):
+            foldB, nB = None, 0
+        if self._register_prefold(opC, foldC, fkC):
+            foldC, nC = None, 0
         prec = "default" if self.compute_tn == "bfloat16" else self.precision
 
         def fn(x, wA, bA, *rest):
             i = 0
-            wA2, bA2 = foldA(wA, bA, rest[i:i + nA])
+            wA2, bA2 = (foldA(wA, bA, rest[i:i + nA])
+                        if foldA is not None else (wA, bA))
             i += nA
             wB, bB = rest[i], rest[i + 1]
             i += 2
-            wB2, bB2 = foldB(wB, bB, rest[i:i + nB])
+            wB2, bB2 = (foldB(wB, bB, rest[i:i + nB])
+                        if foldB is not None else (wB, bB))
             i += nB
             wC, bC = rest[i], rest[i + 1]
             i += 2
-            wC2, bC2 = foldC(wC, bC, rest[i:i + nC])
+            wC2, bC2 = (foldC(wC, bC, rest[i:i + nC])
+                        if foldC is not None else (wC, bC))
             # any remaining extra is the Eltwise skip node == x itself
             c = x.shape[-1]
             k = wA2.shape[-1]
@@ -919,13 +1006,21 @@ class PallasFwd(FwdEngine):
 
     def _make_fold(self, pipe: ConvPipe, conv_op, chain: list[str]):
         """BN/Scale weight-folding for a conv's chain: returns
-        (fold(w, b, extras) -> (w2, b2), n_extras) where extras are the
-        BN/Scale parameter values in chain order (Eltwise/ReLU take none)."""
+        (fold(w, b, extras) -> (w2, b2), n_extras, param_keys) where extras
+        are the BN/Scale parameter values in chain order (Eltwise/ReLU take
+        none) and param_keys their weight-node names. A chain with neither
+        BN nor Scale returns (None, 0, []) — conv weights pass through
+        untouched (an identity fold would still cost a full per-forward
+        read+write of the weights)."""
         import jax.numpy as jnp
         from jax import lax as _lax
         ops = [pipe.ops[c] for c in chain]
         bn = next((o for o in ops if o.type == "BatchNorm"), None)
         sc = next((o for o in ops if o.type == "Scale"), None)
+        if bn is None and sc is None:
+            return None, 0, []
+        param_keys = (list(bn.bots[1:]) if bn is not None else []) + \
+            (list(sc.bots[1:]) if sc is not None else [])
         eps = float(bn.p("eps", 1e-5)) if bn is not None else 0.0
         n_bn = (len(bn.bots) - 1) if bn is not None else 0
         n_sc = (len(sc.bots) - 1) if sc is not None else 0
@@ -961,7 +1056,21 @@ class PallasFwd(FwdEngine):
                 w2 = (w * scale_eff.reshape(sh).astype(jnp.float32)).astype(w.dtype)
             b2 = (b * scale_eff + shift).astype(b.dtype)
             return w2, b2
-        return fold, n_bn + n_sc
+        return fold, n_bn + n_sc, param_keys
+
+    def _register_prefold(self, conv_op, fold, param_keys):
+        """Queue this conv's fold for the one-shot upload-time computation
+        and map the conv to its folded weight keys. Returns True when the
+        fold will be prefolded (the in-jit fold must then be skipped)."""
+        if not self._prefold_on or fold is None:
+            return False
+        w_key, b_key = conv_op.bots[1], conv_op.bots[2]
+        wf, bf = w_key + "__folded", b_key + "__folded"
+        # a conv can be registered twice (its own chain + a block mega-chain
+        # that subsumes it); the fold is identical — first registration wins
+        self._prefold_plan.setdefault(wf, (w_key, b_key, param_keys, fold))
+        self._prefold_keys[conv_op.name] = (wf, bf)
+        return True
 
     def _lower_chain(self, pipe: ConvPipe, conv_op, chain: list[str],
                      ctx: LowerCtx) -> Callable:
@@ -981,16 +1090,19 @@ class PallasFwd(FwdEngine):
             # kernel can't fuse the residual: take an activation-free lowering
             # and apply add(+ReLU) as XLA epilogue ops instead
             fused_conv_fn = self._lower(pipe, conv_op, ctx, fused=False)
-        fold, n_fold = self._make_fold(pipe, conv_op, chain)
+        fold, n_fold, fkeys = self._make_fold(pipe, conv_op, chain)
+        if self._register_prefold(conv_op, fold, fkeys):
+            fold, n_fold = None, 0  # w/b arrive already folded; no extras
 
         def fn(x, w, b, *rest):
-            w2, b2 = fold(w, b, rest[:n_fold])
+            if fold is not None:
+                w, b = fold(w, b, rest[:n_fold])
             if elt is None:
-                return fused_conv_fn(x, w2, b2)
+                return fused_conv_fn(x, w, b)
             res = rest[n_fold]
             if res_in_kernel:
-                return fused_conv_fn(x, w2, b2, residual=res)
-            out = fused_conv_fn(x, w2, b2)[0] + res
+                return fused_conv_fn(x, w, b, residual=res)
+            out = fused_conv_fn(x, w, b)[0] + res
             if has_relu:
                 out = jnp.maximum(out, 0.0)
             return (out.astype(x.dtype),)
@@ -1134,6 +1246,35 @@ class PallasFwd(FwdEngine):
                 data = prep[0](data)
             tgt = self._weight_sharding(k) if self._mesh is not None else dev
             self._weights_dev[k] = jax.device_put(data, tgt)
+        if self._prefold_plan:
+            # one-shot fold of every fused chain's BN/Scale into its conv's
+            # (prepped, cast) weights — the exact fold fns _lower_chain/_block
+            # would otherwise run per forward, so results are numerically
+            # identical to the in-jit fold. One small jit; under a mesh GSPMD
+            # propagates each folded weight's sharding from its source.
+            plan = dict(self._prefold_plan)
+
+            def _fold_all(wd):
+                out = {}
+                for wf, (wk, bk, fkeys, fold) in plan.items():
+                    w2, b2 = fold(wd[wk], wd[bk], [wd[k] for k in fkeys])
+                    out[wf] = w2
+                    out[bk + "__folded"] = b2
+                return out
+            if self._mesh is not None:
+                # pin each folded output to its SOURCE weight's sharding —
+                # left free, GSPMD may pick a different spec than the one
+                # _build_sharded_fn declares for the folded key (mismatch
+                # error at dispatch)
+                out_sh = {}
+                for wf, (wk, bk, _fk, _f) in plan.items():
+                    out_sh[wf] = self._weight_sharding(wk)
+                    out_sh[bk + "__folded"] = self._weight_sharding(bk)
+                folded = jax.jit(_fold_all, out_shardings=out_sh)(
+                    self._weights_dev)
+            else:
+                folded = jax.jit(_fold_all)(self._weights_dev)
+            self._weights_dev.update(folded)
 
     def _to_internal(self, node: str, arr):
         if self.layout == "nhwc" and self._is_4d(node) and arr.ndim == 4:
@@ -1141,6 +1282,7 @@ class PallasFwd(FwdEngine):
         return arr
 
     def example_weights(self) -> dict:
+        import numpy as np
         out = {}
         for k, w in self.pipe.weights.items():
             data = self._cast_w(w.data)
@@ -1148,6 +1290,12 @@ class PallasFwd(FwdEngine):
             if prep is not None:
                 data = prep[0](data)
             out[k] = data
+        # prefolded entries: pull the upload-time folded values back to host
+        # (init computed them on-device; see _upload_weights) so consumers
+        # feeding build_raw_fn have every key net_fn reads
+        for wf, (wk, bk, _fk, _fold) in getattr(self, "_prefold_plan", {}).items():
+            out[wf] = np.asarray(self._weights_dev[wf])
+            out[bk + "__folded"] = np.asarray(self._weights_dev[bk + "__folded"])
         return out
 
     def _is_4d(self, node: str) -> bool:
@@ -1178,12 +1326,25 @@ class PallasFwd(FwdEngine):
                 skip_ops[c] = conv_name
         # extra inputs of each chain op = all bots except the link value
         # (prev op's top); for BN/Scale that's bots[1:], for Eltwise it's
-        # the skip-connection activation (either bot position)
+        # the skip-connection activation (either bot position). Prefolded
+        # convs (see _register_prefold): their BN/Scale params are upload-
+        # time constants — dropped here — and mid-chain conv weights (block
+        # mega-chains) substitute their __folded keys.
         def _extras(conv_name, chain):
             link, out = pipe.ops[conv_name].tops[0], []
+            cur_pf = self._prefold_keys.get(conv_name)  # fold owner's keys
             for cn in chain:
                 cop = pipe.ops[cn]
-                out += [b for b in cop.bots if b != link]
+                if cop.type in ("Convolution", "InnerProduct"):
+                    cur_pf = self._prefold_keys.get(cn)
+                    if cur_pf is not None:  # mid-chain conv (block mega-chain)
+                        out += [cur_pf[0], cur_pf[1]]
+                    else:
+                        out += [b for b in cop.bots if b != link]
+                elif cop.type in ("BatchNorm", "Scale") and cur_pf is not None:
+                    pass  # folded at upload into the owning conv's weights
+                else:
+                    out += [b for b in cop.bots if b != link]
                 link = cop.tops[0]
             return out
         chain_args = {c: _extras(c, chain) for c, chain in fused_now.items()}
@@ -1221,7 +1382,8 @@ class PallasFwd(FwdEngine):
                     needed.difference_update(tops)
                     needed.update(d for d in deps if d != a_node)
             units.reverse()
-            ext = [n for n in needed if n not in pipe.weights]
+            ext = [n for n in needed if n not in pipe.weights
+                   and not n.endswith("__folded")]
             if not units or ext:
                 raise ConfigError(
                     f"batch_split region {spec!r}: external data deps {ext} "
@@ -1274,14 +1436,26 @@ class PallasFwd(FwdEngine):
                     # images as NHWC batches directly (HWC is the natural
                     # decode layout), skipping the per-forward transpose.
                     # Ambiguous shapes (logical == permuted) stay logical.
+                    # batch dim wildcarded: under shard_map the raw fn sees
+                    # the per-device img slice, not the global batch
                     ld = pipe.must_dims(k).shape
-                    nhwc = (ld[0], ld[2], ld[3], ld[1])
-                    if tuple(v.shape) == ld:
+                    nhwc = (ld[2], ld[3], ld[1])
+                    g = self._input_s2d.get(k) if hasattr(self, "_input_s2d") \
+                        else None
+                    if g is not None and tuple(v.shape[1:]) == \
+                            (g["xs_h"], g["xs_w"], g["sb"] ** 2 * g["cin"]):
+                        # pre-folded stem_s2d layout from the host loader —
+                        # the stem conv's lowering consumes it directly
+                        vals[k] = v
+                        continue
+                    if tuple(v.shape[1:]) == ld[1:]:
                         v = v.transpose(0, 2, 3, 1)
-                    elif tuple(v.shape) != nhwc:
+                    elif tuple(v.shape[1:]) != nhwc:
                         raise PipeError(
                             f"input {k!r}: shape {tuple(v.shape)} is neither "
-                            f"logical NCHW {ld} nor native NHWC {nhwc}")
+                            f"logical NCHW (*, {ld[1]}, {ld[2]}, {ld[3]}) "
+                            f"nor native NHWC (*, {nhwc[0]}, {nhwc[1]}, "
+                            f"{nhwc[2]})")
                 vals[k] = v
             # prune to the subgraph reaching out_names from the provided
             # inputs (mid-graph inputs like pool1 supported; chain tops count
@@ -1317,8 +1491,13 @@ class PallasFwd(FwdEngine):
 
             def _exec_one(op_name, look):
                 op = pipe.ops[op_name]
+                bots = op.bots
+                pf = self._prefold_keys.get(op_name) \
+                    if op_name in fused_now else None
+                if pf is not None:  # head conv reads its upload-folded w/b
+                    bots = [op.bots[0], pf[0], pf[1]] + list(op.bots[3:])
                 try:
-                    bot_vals = [look(b) for b in op.bots]
+                    bot_vals = [look(b) for b in bots]
                     if op_name in fused_now:
                         bot_vals += [look(b) for b in chain_args[op_name]]
                 except KeyError as e:

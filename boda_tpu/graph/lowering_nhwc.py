@@ -55,6 +55,41 @@ def _no_preps(fn):
     return fn, {}
 
 
+def stem_s2d_geom(ind, od, s, p, k, dil, groups):
+    """Geometry of the stem space-to-depth fold, or None when the conv does
+    not qualify (shared by the Convolution rule and PallasFwd.input_s2d's
+    host-side fold). Conditions: square stride>1/kernel>1, no dilation or
+    groups, starved in_chan (C*s*s <= 64), and non-negative right-pad (a
+    negative right-pad means floor division discards input tail rows)."""
+    sb, kk = s[0], k[0]
+    m = -(-kk // sb)                        # taps per axis after the fold
+    pad_r_y = sb * (od["y"] + m - 1) - ind["y"] - p[0]
+    pad_r_x = sb * (od["x"] + m - 1) - ind["x"] - p[1]
+    if not (groups == 1 and dil == (1, 1) and s[0] == s[1] > 1
+            and k[0] == k[1] > 1 and ind["chan"] * s[0] * s[1] <= 64
+            and pad_r_y >= 0 and pad_r_x >= 0):
+        return None
+    return {"sb": sb, "kk": kk, "m": m, "pad": (p[0], p[1]),
+            "pad_r": (pad_r_y, pad_r_x), "xs_h": od["y"] + m - 1,
+            "xs_w": od["x"] + m - 1, "cin": ind["chan"]}
+
+
+def host_stem_s2d(x_nhwc, geom):
+    """Numpy host-side fold of an NHWC batch into the stem_s2d input layout
+    (N, xs_h, xs_w, sb*sb*C) — identical math to the in-jit fold in the
+    Convolution rule, run once at load time by the data loader instead of
+    per-forward on the device."""
+    import numpy as np
+    sb, cin = geom["sb"], geom["cin"]
+    (p0, p1), (pry, prx) = geom["pad"], geom["pad_r"]
+    xs_h, xs_w = geom["xs_h"], geom["xs_w"]
+    xp = np.pad(x_nhwc, ((0, 0), (p0, pry), (p1, prx), (0, 0)))
+    xsd = xp.reshape(x_nhwc.shape[0], xs_h, sb, xs_w, sb, cin)
+    return np.ascontiguousarray(
+        xsd.transpose(0, 1, 3, 2, 4, 5).reshape(
+            x_nhwc.shape[0], xs_h, xs_w, sb * sb * cin))
+
+
 # -- conv ------------------------------------------------------------------------
 
 @nhwc_rule("Convolution")
@@ -159,19 +194,13 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
     # resnet50, -12% googlenet with the IDENTICAL stem shape); selected
     # per-op by net_tune wisdom.
     stem_on = tune.stem_s2d == 1
-    sb, kk = s[0], k[0]
-    m = -(-kk // sb)                        # taps per axis after the fold
-    # right-pad so the folded input covers every tap window; negative means
-    # floor division already discards input tail rows — rare (k%s!=0 with
-    # tiny pad); fall through to the plain paths rather than slice.
-    pad_r_y = sb * (od["y"] + m - 1) - ind["y"] - p[0]
-    pad_r_x = sb * (od["x"] + m - 1) - ind["x"] - p[1]
-    if (stem_on and groups == 1 and dil == (1, 1) and s[0] == s[1] > 1
-            and k[0] == k[1] > 1 and ind["chan"] * s[0] * s[1] <= 64
-            and pad_r_y >= 0 and pad_r_x >= 0):
+    geom = stem_s2d_geom(ind, od, s, p, k, dil, groups)
+    if stem_on and geom is not None:
+        sb, kk, m = geom["sb"], geom["kk"], geom["m"]
+        pad_r_y, pad_r_x = geom["pad_r"]
         oy, ox = od["y"], od["x"]
-        h, wd, cin = ind["y"], ind["x"], ind["chan"]
-        xs_h, xs_w = oy + m - 1, ox + m - 1
+        cin = ind["chan"]
+        xs_h, xs_w = geom["xs_h"], geom["xs_w"]
         info_log.append(f"{op.name}: nhwc-stem_s2d s={sb} k={kk} m={m}")
         prec = PRECISIONS[tune.precision]
         from .lowering import conv_f32acc
@@ -192,11 +221,18 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
             return g[:kk, :kk].transpose(3, 2, 0, 1)
 
         def fn(x, w, b, residual=None):
-            xp = jnp.pad(x, ((0, 0), (p[0], pad_r_y), (p[1], pad_r_x),
-                             (0, 0)))
-            xsd = xp.reshape(x.shape[0], xs_h, sb, xs_w, sb, cin)
-            xsd = xsd.transpose(0, 1, 3, 2, 4, 5).reshape(
-                x.shape[0], xs_h, xs_w, sb * sb * cin)
+            if x.shape[1] == xs_h and x.shape[-1] == sb * sb * cin:
+                # input arrives PRE-FOLDED (host-side s2d at load time — see
+                # PallasFwd.input_s2d): the per-forward pad+reshape+minor-dim
+                # transpose, the expensive part of the in-jit fold on TPU,
+                # never touches the device
+                xsd = x
+            else:
+                xp = jnp.pad(x, ((0, 0), (p[0], pad_r_y), (p[1], pad_r_x),
+                                 (0, 0)))
+                xsd = xp.reshape(x.shape[0], xs_h, sb, xs_w, sb, cin)
+                xsd = xsd.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    x.shape[0], xs_h, xs_w, sb * sb * cin)
             out = conv(xsd, w) + b.reshape(1, 1, 1, -1)
             if residual is not None:
                 out = out + residual.astype(out.dtype)
