@@ -75,7 +75,12 @@ def main() -> int:
     # additionally pre-folds the batch to the stem_s2d layout on the host
     # (engine input_s2d=1 — the loader-side space-to-depth that turns the
     # starved-C stem conv into a stride-1 conv with zero device relayout).
-    native_env = os.environ.get("BENCH_NATIVE", "1")
+    # Default s2d for the resnet flagship: 4/4 independent in-program A/Bs
+    # measured 1.03-1.09x (median 1.06x) whole-net on v5e
+    # (scripts/exp_input_s2d_ab.py); googlenet regresses (0.92x) on the
+    # same stem shape, so the default is per-model, not global.
+    native_default = "s2d" if model.startswith("resnet") else "1"
+    native_env = os.environ.get("BENCH_NATIVE", native_default)
     native = native_env in ("1", "s2d")
     in_s2d = native_env == "s2d"
 
@@ -100,6 +105,11 @@ def main() -> int:
     if native and engine == "pallas":
         from boda_tpu.utils.dims import Dims
         xh = np.ascontiguousarray(x.data.transpose(0, 2, 3, 1))
+        if ctn == "bfloat16":
+            # the production loader emits the compute dtype — feeding f32
+            # would re-convert 2x the bytes inside the jit every forward
+            import ml_dtypes
+            xh = xh.astype(ml_dtypes.bfloat16)
         if in_s2d:
             xh = eng.host_input_s2d("data", xh)
             nd = Dims.of(img=xh.shape[0], y=xh.shape[1], x=xh.shape[2],
@@ -132,7 +142,9 @@ def main() -> int:
     # rather than print an impossible number.
     fl = pipe.total_flops() / img
     floor_s = (fl * img) / 500e12
-    times = [eng.time_fwd({"data": x}, ["prob"], n_iters=24, chain=chain)
+    # n_iters=48: slope error scales 1/n — at n=24 a +-2ms endpoint residue
+    # reads +-80us/fwd (4%); 48 halves it for ~2s more per rep
+    times = [eng.time_fwd({"data": x}, ["prob"], n_iters=48, chain=chain)
              for _ in range(reps)]
     valid = [t for t in times if t >= floor_s]
     for t in times:
@@ -154,6 +166,8 @@ def main() -> int:
         "detail": {"engine": engine, "precision": prec, "compute_tn": ctn,
                    "img": img, "kernel_policy": policy,
                    **({"native_input": True} if native and engine == "pallas"
+                      else {}),
+                   **({"input_s2d": True} if in_s2d and engine == "pallas"
                       else {}),
                    **({"int8": True} if int8 else {}),
                    **({"calib": calib} if calib else {}),

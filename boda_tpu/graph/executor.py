@@ -454,16 +454,20 @@ class FwdEngine:
         for length in fns:  # compile + warm
             for _ in range(max(1, warmup - 1)):
                 run(length)
-        # median of 3 paired slope passes (each pass: best-of-2 per length,
+        # median of 3 paired slope passes (each pass: best-of-4 per length,
         # interleaved). Independent min-per-length lets ONE anomalous read
         # collapse the whole slope: observed a 10x-too-fast t_2n over the
         # tunnel that turned a 2ms forward into an impossible 188us (6.7x
         # the hardware peak). A median needs the anomaly in 2 of 3 passes.
+        # best-of-4 endpoints: RTT noise is additive-positive, so each min
+        # converges to the true endpoint FROM ABOVE — with only 2 reads the
+        # residual ms-scale inflation divided by n read ~10% high vs the
+        # abtime harness's 4-read endpoints on the identical program.
         import statistics
         diffs = []
         for _ in range(3):
-            t_n = min(run(n) for _ in range(2))
-            t_2n = min(run(2 * n) for _ in range(2))
+            t_n = min(run(n) for _ in range(4))
+            t_2n = min(run(2 * n) for _ in range(4))
             diffs.append(t_2n - t_n)
         return max(statistics.median(diffs) / n, 1e-12)
 

@@ -29,8 +29,12 @@ class OpsProf(Mode):
     mrd_toler = Field(float, default="2e-4", help="cross-tune output tolerance")
 
     def main(self) -> None:
+        import dataclasses
         ops = load_op_sigs(self.ops_fn)
         tunes = [OpTune.from_lexp(v) for v in self.op_tunes.values()]
+        # which tunes left precision to the default (vs chose it explicitly)
+        prec_default = ["precision" not in str(v)
+                        for v in self.op_tunes.values()]
         if not tunes:
             raise ConfigError("ops_prof: op_tunes must not be empty")
         kg_map = {}
@@ -40,7 +44,16 @@ class OpsProf(Mode):
         cg = Codegen(self.be)  # one codegen: unique func naming across ops
         for op in ops:
             self.be.release_all_vars()
-            w = profile_op(self.be, cg, op, tunes,
+            # bf16 corpus: the 'highest' (fp32-contract) default is invalid
+            # on bf16 operands (Mosaic rejects it); follow the engine's rule
+            # (executor.op_tune) — bf16 compute defaults to native-MXU passes
+            # unless the tune names a precision itself
+            op_tunes = tunes
+            if any(d.tn == "bfloat16" for d in op.dims_vals.values()):
+                op_tunes = [dataclasses.replace(t, precision="default")
+                            if dflt else t
+                            for t, dflt in zip(tunes, prec_default)]
+            w = profile_op(self.be, cg, op, op_tunes,
                            n_iters=self.n_iters, mrd_toler=self.mrd_toler,
                            kg_wisdom=kg_map.get(op.key()))
             out.append(w)

@@ -73,8 +73,11 @@ def ab_model(model, img=32):
 
 
 def main():
+    only = os.environ.get("SWEEP_ONLY", "")
     res = []
     for model, img in (("resnet50", 32), ("googlenet_conv", 32)):
+        if only and model != only:
+            continue
         res.append(ab_model(model, img))
     print(json.dumps(res))
 
