@@ -58,6 +58,11 @@ def main() -> int:
     # static-scale path (kills the per-forward amax reduces)
     int8 = os.environ.get("BENCH_INT8", "") == "1"
     calib = os.environ.get("BENCH_CALIB", "")
+    # backend compiler flags, comma-separated k=v (shipped per-program via
+    # jit compiler_options — XLA_FLAGS can't carry TPU backend flags on
+    # remote-compile platforms)
+    copts = dict(kv.split("=", 1) for kv in
+                 os.environ.get("BENCH_COPTS", "").split(",") if "=" in kv)
 
     import boda_tpu.modes_all  # noqa: F401
     from boda_tpu.config import make
@@ -96,6 +101,8 @@ def main() -> int:
             kw["int8"] = True
         if calib:
             kw["calib_fn"] = calib
+        if copts:
+            kw["compiler_options"] = copts
     if in_s2d and engine == "pallas":
         kw["input_s2d"] = True
     eng = make("conv_fwd", engine, precision=prec, compute_tn=ctn, **kw)
@@ -172,6 +179,7 @@ def main() -> int:
                    **({"int8": True} if int8 else {}),
                    **({"calib": calib} if calib else {}),
                    **({"batch_split": bsplit} if bsplit else {}),
+                   **({"compiler_options": copts} if copts else {}),
                    "secs_per_fwd": round(secs, 6),
                    "GF_per_s": round(fl * img / secs / 1e9, 1)},
     }))

@@ -62,6 +62,14 @@ class FwdEngine:
     # gen_src analog (ref rtc_compute.H:39-40): dump each compiled program's
     # lowered StableHLO + backend-optimized HLO text
     gen_src_dir = Field(str, default="", help="dump compiled program sources here")
+    # backend compiler flags for every whole-net jit, e.g.
+    # (xla_tpu_scoped_vmem_limit_kib=65536). XLA_FLAGS cannot carry TPU
+    # backend flags on remote-compile platforms (the client-side env parser
+    # rejects them); jit(compiler_options=...) ships them with the program
+    # and the backend validates them (unknown flags are a compile error).
+    compiler_options = Field((dict, "lexp"), default="()",
+                             help="per-program backend flags, e.g. "
+                                  "(xla_tpu_scoped_vmem_limit_kib=65536)")
 
     def base_setup(self) -> None:
         self.pipe: Optional[ConvPipe] = None
@@ -69,6 +77,12 @@ class FwdEngine:
         self._out_names: list[str] = []
         self._info_log: list[str] = []
         self._weights_dev: dict = {}
+        co = self.compiler_options
+        if isinstance(co, dict):  # programmatic make(compiler_options={...})
+            self._copts = {k: str(v) for k, v in co.items()} or None
+        else:
+            self._copts = {k: str(v.leaf_val)
+                           for k, v in (co.kids if co else [])} or None
         self._mesh = None
         axes = {k: int(v.leaf_val) for k, v in (self.mesh.kids if self.mesh else [])}
         if axes:
@@ -225,11 +239,17 @@ class FwdEngine:
 
         return net_fn
 
-    def _build_fn(self, in_names: list[str], out_names: list[str]) -> Callable:
+    def _jit(self, fn, **kw):
+        """jax.jit with the engine's compiler_options applied (if any)."""
         import jax
+        if self._copts:
+            kw["compiler_options"] = self._copts
+        return jax.jit(fn, **kw)
+
+    def _build_fn(self, in_names: list[str], out_names: list[str]) -> Callable:
         raw = self.build_raw_fn(out_names)
         if self._mesh is None:
-            return jax.jit(raw)
+            return self._jit(raw)
         return self._build_sharded_fn(raw, in_names, out_names)
 
     def _build_sharded_fn(self, raw, in_names, out_names) -> Callable:
@@ -245,7 +265,8 @@ class FwdEngine:
                  for n in in_names}
         out_sh = {n: self._input_sharding(self.pipe.must_dims(n))
                   for n in out_names}
-        jitted = jax.jit(raw, in_shardings=(w_sh, in_sh), out_shardings=out_sh)
+        jitted = self._jit(raw, in_shardings=(w_sh, in_sh),
+                           out_shardings=out_sh)
 
         def fn(weights, inputs):
             with self._mesh:
@@ -440,7 +461,7 @@ class FwdEngine:
         for length in (n, 2 * n):
             key = (tuple(sorted(ins)), tuple(out_names), length)
             if key not in cache:
-                cache[key] = jax.jit(
+                cache[key] = self._jit(
                     lambda w, x, length=length: chained(w, x, length))
             fns[length] = cache[key]
 
@@ -713,7 +734,7 @@ class PallasFwd(FwdEngine):
         out_specs = {n: P("dp") for n in out_names}
         smapped = shard_map(raw, mesh=self._mesh, in_specs=(w_specs, in_specs),
                             out_specs=out_specs, **rep_kw)
-        jitted = jax.jit(smapped)
+        jitted = self._jit(smapped)
 
         def fn(weights, inputs):
             with self._mesh:

@@ -122,8 +122,12 @@ def aggregate_trace(trace_dir: str, imap: dict[str, str],
                 # fusion names keep the root instruction's name + suffix
                 scope = imap.get(name.split(".", 1)[0])
             if scope is None:
-                if any(c in name for c in " $:"):
-                    continue  # runtime/listener marker, not an instruction
+                if any(c in name for c in " $:("):
+                    # runtime/listener marker or the whole-program envelope
+                    # event (e.g. "jit_net_fn(<fingerprint>)"), which spans
+                    # every instruction event and would double-count ~25%
+                    # of the table into '(other)'
+                    continue
                 scope = "(other)"  # device instruction without metadata
                 if unmapped is not None:
                     unmapped[name] = unmapped.get(name, 0.0) \
@@ -144,6 +148,11 @@ class NetTrace(Mode):
     out_node = Field(str, default="prob", help="output node")
     n_iters = Field(int, default="4", help="traced forwards")
     trace_dir = Field(str, default="trace", help="trace output subdir")
+    native = Field(bool, default="0",
+                   help="feed native NHWC compute-dtype input (what the "
+                        "production loader emits); engines with input_s2d=1 "
+                        "additionally get the host-folded stem layout — "
+                        "matches the flagship bench program")
     per_op = Field(bool, default="0",
                    help="print in-net per-op device time from the trace")
     top_k = Field(int, default="20", help="per-op table rows (0=all)")
@@ -163,6 +172,19 @@ class NetTrace(Mode):
         eng.init(pipe)
         d = in_dims["data"]
         x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
+        if self.native:
+            from ..utils.dims import Dims
+            ctn = getattr(eng, "compute_tn", "") or d.tn
+            xh = np.ascontiguousarray(x.data.transpose(0, 2, 3, 1))
+            if ctn != d.tn:
+                import ml_dtypes
+                xh = xh.astype(getattr(ml_dtypes, ctn, None)
+                               or np.dtype(ctn))
+            if getattr(eng, "input_s2d", False):
+                xh = eng.host_input_s2d("data", xh)
+            nd = Dims.of(img=xh.shape[0], y=xh.shape[1], x=xh.shape[2],
+                         chan=xh.shape[3], tn=ctn)
+            x = NDA(nd, xh)
         # compile + warm OUTSIDE the trace window: a traced first call
         # records minutes of compile, swamping the device timeline
         eng.run_fwd({"data": x}, [self.out_node])

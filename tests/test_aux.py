@@ -104,6 +104,35 @@ def test_net_trace_mode(capsys, tmp_path):
     assert files, "no trace files written"
 
 
+def test_net_trace_native_input(capsys, tmp_path):
+    """net_trace --native feeds loader-layout (NHWC compute-dtype) input —
+    the traced program matches the flagship bench configuration."""
+    rc = main(["net_trace", "--model=mini_resnet", "--img=2", "--n-iters=1",
+               "--native=1", "--per-op=1",
+               "--conv-fwd=(mode=pallas,compute_tn=bfloat16,"
+               "precision=default)",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "per-op device time" in out and "conv1" in out
+
+
+def test_engine_compiler_options_parse():
+    """compiler_options reach the jit wrapper as a str->str dict, from both
+    the lexp config surface and programmatic make()."""
+    from boda_tpu.config import make
+    from boda_tpu.utils.lexp import parse_lexp
+    eng = make("conv_fwd", "pallas",
+               compiler_options=parse_lexp(
+                   "(xla_tpu_scoped_vmem_limit_kib=65536)"))
+    assert eng._copts == {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    eng2 = make("conv_fwd", "pallas",
+                compiler_options={"xla_flag": 7})
+    assert eng2._copts == {"xla_flag": "7"}
+    eng3 = make("conv_fwd", "pallas")
+    assert eng3._copts is None
+
+
 def test_named_scopes_in_lowering():
     """per-op jax.named_scope: graph op names appear in the lowered program's
     location metadata (what attributes profiler traces back to ops)."""
