@@ -22,6 +22,53 @@ import sys
 import numpy as np
 
 TITAN_X_RESNET50_IMG_S = 250.0
+V5E_BF16_PEAK_TFS = 197.0
+
+
+def conv_only_mfu(eng, pipe, x, bench_secs: float, n_iters: int = 4) -> dict:
+    """BASELINE.json's literal north star is 'ResNet-50 CONV-ONLY forward
+    >= 70% of v5e MXU roofline' (not whole-net — ADVICE r2 #2): compute it
+    from the in-net per-op device trace (net_trace --per-op machinery) of
+    the SAME engine/program the bench times. Conv rows = Convolution/
+    InnerProduct graph ops; their fused BN/ReLU/residual epilogues are
+    included (fusion IS the program structure — excluding them would
+    require a program nobody runs). Two time bases are reported because
+    the trace window and the chained bench differ ~5% (ADVICE r2 #1):
+    trace-basis uses trace times alone; bench-basis scales the trace's
+    conv share onto the chained bench seconds."""
+    import tempfile
+
+    import jax
+
+    from boda_tpu.modes.net_trace import aggregate_trace, instr_op_map
+    td = tempfile.mkdtemp(prefix="bench_conv_trace_")
+    eng.run_fwd({"data": x}, ["prob"])  # warm outside the trace window
+    with jax.profiler.trace(td):
+        for _ in range(n_iters):
+            eng.run_fwd({"data": x}, ["prob"])
+    raw = eng.build_raw_fn(["prob"])
+    hlo = jax.jit(raw).lower(dict(eng._weights_dev),
+                             {"data": np.asarray(x.data)}).compile().as_text()
+    per = aggregate_trace(td, instr_op_map(hlo))
+    tot_us = sum(per.values()) / n_iters
+    if tot_us <= 0:
+        return {"error": "empty trace"}
+    ctypes = ("Convolution", "InnerProduct")
+    conv_us = sum(us for s, us in per.items()
+                  if s in pipe.ops and pipe.ops[s].type in ctypes) / n_iters
+    conv_fl = sum(pipe.op_flops(o) for o, op in pipe.ops.items()
+                  if op.type in ctypes)
+    conv_share = conv_us / tot_us
+    tfs_trace = conv_fl / (conv_us * 1e-6) / 1e12
+    tfs_bench = conv_fl / (conv_share * bench_secs) / 1e12
+    return {"conv_us_per_fwd_trace": round(conv_us, 1),
+            "trace_total_us_per_fwd": round(tot_us, 1),
+            "conv_share": round(conv_share, 4),
+            "conv_tfs_trace_basis": round(tfs_trace, 1),
+            "conv_tfs_bench_basis": round(tfs_bench, 1),
+            "conv_mfu_trace_basis": round(tfs_trace / V5E_BF16_PEAK_TFS, 4),
+            "conv_mfu_bench_basis": round(tfs_bench / V5E_BF16_PEAK_TFS, 4),
+            "peak_tfs_assumed": V5E_BF16_PEAK_TFS}
 
 
 def main() -> int:
@@ -165,6 +212,15 @@ def main() -> int:
         return 1
     secs = min(valid)
     img_s = img / secs
+    # conv-only MFU (the literal BASELINE.json north star; see the helper).
+    # BENCH_CONV_MFU=0 skips the ~30s trace pass; failures degrade to an
+    # error note rather than killing the headline metric.
+    conv_only = None
+    if os.environ.get("BENCH_CONV_MFU", "1") == "1":
+        try:
+            conv_only = conv_only_mfu(eng, pipe, x, secs)
+        except Exception as e:  # trace support is platform-best-effort
+            conv_only = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps({
         "metric": f"{model}_fwd_img_per_sec",
         "value": round(img_s, 2),
@@ -181,7 +237,8 @@ def main() -> int:
                    **({"batch_split": bsplit} if bsplit else {}),
                    **({"compiler_options": copts} if copts else {}),
                    "secs_per_fwd": round(secs, 6),
-                   "GF_per_s": round(fl * img / secs / 1e9, 1)},
+                   "GF_per_s": round(fl * img / secs / 1e9, 1),
+                   **({"conv_only": conv_only} if conv_only else {})},
     }))
     return 0
 

@@ -558,6 +558,22 @@ class PallasFwd(FwdEngine):
     # When set, int8 conv/fc use the persisted per-tensor scales instead of
     # computing a runtime amax reduce every forward (prof/calib.py).
     calib_fn = Field("filename", default="", help="activation-amax calibration file")
+    # selective int8 ACTIVATION STORAGE (distinct from int8 compute): the
+    # listed nodes (names or glob patterns) are stored in HBM as int8
+    # (uint8 when provably non-negative — ReLU/pool outputs) with static
+    # per-tensor scales from calib_fn; every consumer dequantizes on read
+    # and compute stays in compute_tn. Targets the HBM-roofline stages
+    # (docs/mfu_ceiling.md prices r50's res2 branch2c chains AT the bf16
+    # roofline at b32 — 115.6 MB min traffic/op; halving the activation
+    # byte width moves that roofline). The quantize fuses into the
+    # producing fusion's store and the dequant into each consumer, so the
+    # bf16 value never exists in HBM. Reference semantics analog: per-node
+    # quantization injection (ref test/rtc/quantize.cucl, rtc_fwd.cc:212)
+    # — making it a bandwidth tool is the TPU-native extension. Requires
+    # calib_fn amax entries for every matched node; inference-only (the
+    # rounding has zero gradient). NHWC layout only.
+    act_int8 = Field((list, str), default="()",
+                     help="store these activation nodes as int8 (glob ok)")
     # default conv/fc variant family. Measured on v5e (r50 bf16 b32, chained
     # difference timing): the XLA conv lowering inside our fused NHWC program
     # reaches 127 TF/s (64% MXU peak) vs 53 TF/s for the generated Pallas
@@ -599,7 +615,9 @@ class PallasFwd(FwdEngine):
             ((("prefold",) if self.prefold else ())) + \
             ((("input_s2d",) if self.input_s2d else ())) + \
             (tuple(sorted(map(str, self.batch_split)))
-             if self.batch_split else ())
+             if self.batch_split else ()) + \
+            (("act_int8",) + tuple(sorted(map(str, self.act_int8)))
+             if self.act_int8 else ())
         return f"{stable_hash(repr(cfg)) & 0xFFFFFFFF:08x}"
 
     def wisdom_plats(self) -> tuple[str, str]:
@@ -869,6 +887,11 @@ class PallasFwd(FwdEngine):
         self._input_s2d_ops: set[str] = set()
         if self.input_s2d and self.layout == "nhwc" and not pipe.bck_added:
             self._detect_input_s2d(pipe)
+        # act_int8 (see the Field doc): resolve patterns -> per-node static
+        # scales now, so a typo or a missing calib entry fails at init
+        self._act_q: dict[str, tuple] = {}
+        if self.act_int8:
+            self._resolve_act_int8(pipe, ctx)
         for op_name in pipe.topo_op_order():
             op = pipe.ops[op_name]
             self._lowered[op_name] = self._lower(pipe, op, ctx, fused=False)
@@ -915,6 +938,61 @@ class PallasFwd(FwdEngine):
             raise PipeError(f"input {node!r} has no input_s2d fold "
                             f"(have {sorted(self._input_s2d)})")
         return host_stem_s2d(x_nhwc, geom)
+
+    def _resolve_act_int8(self, pipe: ConvPipe, ctx: LowerCtx) -> None:
+        """Resolve act_int8 patterns into self._act_q: node -> (unsigned,
+        scale). Scales come from calib_fn amax (static — a runtime amax
+        would re-read the tensor it exists to shrink); unsigned storage
+        (uint8, scale=amax/255) when the producer provably emits >= 0
+        (ReLU, or max/avg pooling over such), else int8 (amax/127)."""
+        import fnmatch
+        if self.layout != "nhwc":
+            raise ConfigError("act_int8 requires the NHWC engine layout")
+        if self.pipe.bck_added or self.train:
+            raise ConfigError("act_int8 is inference-only (the storage "
+                              "rounding has zero gradient)")
+        amax = getattr(ctx, "act_amax", None)
+        if amax is None:
+            raise ConfigError("act_int8 needs calib_fn (net_calib amax "
+                              "sidecar) for the static scales")
+        nodes = [n for n, node in pipe.nodes.items()
+                 if node.dims is not None and n not in pipe.weights
+                 and node.top_for]
+        # non-negativity: fixed-point over producers (ReLU -> yes; Pooling/
+        # Dropout/Concat propagate; everything else unknown)
+        nonneg: set[str] = set()
+        changed = True
+        while changed:
+            changed = False
+            for n in nodes:
+                if n in nonneg:
+                    continue
+                prod = pipe.ops[pipe.nodes[n].top_for[0]]
+                ok = prod.type == "ReLU" or (
+                    prod.type in ("Pooling", "Dropout", "Concat")
+                    and all(b in nonneg for b in prod.bots))
+                if ok:
+                    nonneg.add(n)
+                    changed = True
+        matched: set[str] = set()
+        for pat in map(str, self.act_int8):
+            hits = fnmatch.filter(nodes, pat)
+            if not hits:
+                raise ConfigError(
+                    f"act_int8 pattern {pat!r} matches no activation node")
+            matched.update(hits)
+        missing = sorted(n for n in matched if n not in amax)
+        if missing:
+            raise ConfigError(
+                f"act_int8: calib file {self.calib_fn!r} has no amax for "
+                f"{missing} (re-run net_calib on this net)")
+        for n in sorted(matched):
+            a = max(float(amax[n]), 1e-12)
+            uns = n in nonneg
+            self._act_q[n] = (uns, a / (255.0 if uns else 127.0))
+            self._info_log.append(
+                f"act_int8 {n}: {'uint8' if uns else 'int8'} "
+                f"scale={self._act_q[n][1]:.4g}")
 
     def _detect_blocks(self, pipe: ConvPipe) -> None:
         """Find residual bottlenecks: convA(1x1 s1)+BN/Sc+ReLU ->
@@ -1440,6 +1518,31 @@ class PallasFwd(FwdEngine):
         cdt = _jnp_dt(self.compute_tn) if self.compute_tn else None
         stats = self.per_layer_stats
 
+        # act_int8 storage (see the Field doc): _qstore quantizes a node's
+        # value as it enters the activation store (fuses into the producing
+        # fusion — the bf16 value never reaches HBM); _qload dequantizes on
+        # every read (fuses into each consumer). Float-typed values pass
+        # through untouched, so mid-graph runs that FEED a quantized node as
+        # an input (per-layer tests, net_decomp suffixes) stay exact.
+        actq = getattr(self, "_act_q", None) or {}
+
+        def _qstore(n, v):
+            q = actq.get(n)
+            if q is None or not jnp.issubdtype(v.dtype, jnp.floating):
+                return v
+            uns, scale = q
+            vq = jnp.round(v.astype(jnp.float32) * (1.0 / scale))
+            if uns:
+                return jnp.clip(vq, 0.0, 255.0).astype(jnp.uint8)
+            return jnp.clip(vq, -127.0, 127.0).astype(jnp.int8)
+
+        def _qload(n, v):
+            q = actq.get(n)
+            if q is None or jnp.issubdtype(v.dtype, jnp.floating):
+                return v
+            return (v.astype(jnp.float32) * q[1]).astype(
+                cdt if cdt is not None else jnp.float32)
+
         def net_fn(weights: dict, inputs: dict):
             stat_out = {}
 
@@ -1522,9 +1625,10 @@ class PallasFwd(FwdEngine):
                 if pf is not None:  # head conv reads its upload-folded w/b
                     bots = [op.bots[0], pf[0], pf[1]] + list(op.bots[3:])
                 try:
-                    bot_vals = [look(b) for b in bots]
+                    bot_vals = [_qload(b, look(b)) for b in bots]
                     if op_name in fused_now:
-                        bot_vals += [look(b) for b in chain_args[op_name]]
+                        bot_vals += [_qload(b, look(b))
+                                     for b in chain_args[op_name]]
                 except KeyError as e:
                     raise PipeError(
                         f"op {op_name!r}: missing input {e}") from None
@@ -1554,7 +1658,7 @@ class PallasFwd(FwdEngine):
                             for t, v in _exec_one(
                                     u, lambda n: rv[n] if n in rv
                                     else vals[n]):
-                                rv[t] = v
+                                rv[t] = _qstore(t, v)
                         return rv[reg["b"]]
                     chunks = jnp.split(xa, reg["k"], axis=0)
                     out_b = jnp.concatenate([piece(c) for c in chunks],
@@ -1563,11 +1667,11 @@ class PallasFwd(FwdEngine):
                     _stat(reg["b"], out_b)
                     continue
                 for t, v in _exec_one(op_name, vals.__getitem__):
-                    vals[t] = v
+                    vals[t] = _qstore(t, v)
                     _stat(t, v)
             res = {}
             for n in out_names:
-                v = vals[n]
+                v = _qload(n, vals[n])
                 if is4d.get(n) and v.ndim == 4:
                     v = v.transpose(0, 3, 1, 2)
                 else:
