@@ -202,7 +202,8 @@ class NetTune(Mode):
         for k, tune_s in chosen.items():
             w = OpWisdom(Op.parse(k))
             w.runs.append(OpRun(tune_s if tune_s != "()" else "()",
-                                net_plat, best_t))
+                                net_plat, best_t,
+                                "ab" if self.ab else "chain"))
             wis.append(w)
         fn = self.out_path(self.wisdom_out_fn)
         write_wisdom(fn, wis)

@@ -27,9 +27,17 @@ class OpsProf(Mode):
                           help="output wisdom stream")
     n_iters = Field(int, default="10", help="timing iterations per tune")
     mrd_toler = Field(float, default="2e-4", help="cross-tune output tolerance")
+    # timing tier (see prof/opsprof.profile_op): 'ab' pairs every candidate
+    # against the kg incumbent inside ONE executable (jitter-immune; the
+    # default), 'chain' keeps standalone chained-slope times (comparable
+    # only within a quiet session). Records carry the tag either way.
+    method = Field(str, default="ab", help="timing method: ab | chain")
 
     def main(self) -> None:
         import dataclasses
+        if self.method not in ("ab", "chain"):
+            raise ConfigError(f"ops_prof: unknown method {self.method!r} "
+                              f"(expected 'ab' or 'chain')")
         ops = load_op_sigs(self.ops_fn)
         tunes = [OpTune.from_lexp(v) for v in self.op_tunes.values()]
         # which tunes left precision to the default (vs chose it explicitly)
@@ -55,7 +63,8 @@ class OpsProf(Mode):
                             for t, dflt in zip(tunes, prec_default)]
             w = profile_op(self.be, cg, op, op_tunes,
                            n_iters=self.n_iters, mrd_toler=self.mrd_toler,
-                           kg_wisdom=kg_map.get(op.key()))
+                           kg_wisdom=kg_map.get(op.key()),
+                           method=self.method)
             out.append(w)
         fn = self.out_path(os.path.basename(self.wisdom_out_fn)) \
             if os.path.dirname(self.wisdom_out_fn) in ("", ".") else self.wisdom_out_fn
@@ -107,11 +116,24 @@ class WisAna(Mode):
 
     def main(self) -> None:
         wis = read_wisdom(self.wisdom_fn)
+        n_ab = n_chain = 0
         for w in wis:
             plats = sorted({r.plat for r in w.runs})
             print(f"op {w.op.key()}")
             for p in plats:
                 b = w.best(p)
-                line = f"  {p}: best {b.secs * 1e6:.1f}us tune={b.tune}"
+                # trust tier (OpRun.method): [ab] = in-program A/B vs the
+                # incumbent; [chain] = standalone chained slope (cross-
+                # program comparisons jitter ~2x over the tunnel — treat
+                # rankings from this tier as provisional)
+                tier = b.method or "chain"
+                line = f"  {p}: best {b.secs * 1e6:.1f}us [{tier}] " \
+                       f"tune={b.tune}"
                 print(line)
-        print(f"{len(wis)} ops analyzed")
+            for r in w.runs:
+                if r.method == "ab":
+                    n_ab += 1
+                else:
+                    n_chain += 1
+        print(f"{len(wis)} ops analyzed "
+              f"({n_ab} ab-tier runs, {n_chain} chain/legacy-tier)")

@@ -27,9 +27,19 @@ class OpRun:
     tune: str          # OpTune.key()
     plat: str          # backend plat tag
     secs: float
+    # how the runtime was measured — the trust tier of the record:
+    #   'ab'    in-program A/B vs the incumbent (prof/abtime.ab_compare;
+    #           the jitter-immune tier — candidate and incumbent share ONE
+    #           executable, tunnel dispatch noise cancels)
+    #   'chain' standalone chained-in-dispatch slope (backends.time_func;
+    #           honest per-op but CROSS-program comparisons jitter up to
+    #           2x over the tunnel — see CLAUDE.md timing traps)
+    #   ''      legacy/pre-tag record (assume 'chain')
+    method: str = ""
 
     def line(self) -> str:
-        return f"run {self.tune} {self.plat} {self.secs!r}"
+        tail = f" m={self.method}" if self.method else ""
+        return f"run {self.tune} {self.plat} {self.secs!r}{tail}"
 
 
 @dataclass
@@ -52,11 +62,16 @@ class OpWisdom:
                 raise ValueError(f"wisdom merge: conflicting known-good digest "
                                  f"for {self.op.key()} out {k!r}")
         seen = {(r.tune, r.plat): i for i, r in enumerate(self.runs)}
+
+        def tier(r: OpRun) -> int:  # 'ab' outranks 'chain'/legacy: a faster
+            # reading from the jittery tier must not displace an A/B one
+            return 1 if r.method == "ab" else 0
         for r in o.runs:
             i = seen.get((r.tune, r.plat))
             if i is None:
+                seen[(r.tune, r.plat)] = len(self.runs)
                 self.runs.append(r)
-            elif r.secs < self.runs[i].secs:  # keep the best observed time
+            elif (tier(r), -r.secs) > (tier(self.runs[i]), -self.runs[i].secs):
                 self.runs[i] = r
 
 
@@ -96,9 +111,13 @@ def read_wisdom(fn: str) -> list[OpWisdom]:
                 assert cur is not None, f"{fn}:{ln}: kgd outside op block"
                 cur.kg_digests[name] = NdaDigest.from_lexp_str(dstr)
             elif kind == "run":
+                method = ""
+                if rest.rsplit(" ", 1)[-1].startswith("m="):
+                    rest, mtok = rest.rsplit(" ", 1)
+                    method = mtok[2:]
                 tune, plat, secs = rest.rsplit(" ", 2)
                 assert cur is not None, f"{fn}:{ln}: run outside op block"
-                cur.runs.append(OpRun(tune, plat, float(secs)))
+                cur.runs.append(OpRun(tune, plat, float(secs), method))
             elif kind == "end":
                 assert cur is not None
                 out.append(cur)

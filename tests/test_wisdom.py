@@ -24,8 +24,8 @@ def test_wisdom_roundtrip(tmp_path):
     rng = np.random.RandomState(0)
     w = OpWisdom(_op())
     w.kg_digests["c"] = NdaDigest.make(rng.randn(4, 4).astype(np.float32))
-    w.runs.append(OpRun("(bm=64)", "tpu:v5e", 1.5e-4))
-    w.runs.append(OpRun("()", "interp:cpu", 2.5e-3))
+    w.runs.append(OpRun("(bm=64)", "tpu:v5e", 1.5e-4, "ab"))
+    w.runs.append(OpRun("()", "interp:cpu", 2.5e-3))  # legacy, no method
     fn = str(tmp_path / "w.wis")
     write_wisdom(fn, [w])
     w2 = read_wisdom(fn)[0]
@@ -34,6 +34,31 @@ def test_wisdom_roundtrip(tmp_path):
     assert [r.line() for r in w2.runs] == [r.line() for r in w.runs]
     assert w2.best("tpu:v5e").tune == "(bm=64)"
     assert w2.best().plat == "tpu:v5e"
+    # the method tag survives the roundtrip; legacy records stay untagged
+    assert w2.runs[0].method == "ab" and w2.runs[1].method == ""
+
+
+def test_wisdom_merge_method_tiers():
+    """'ab'-tier records are never displaced by faster 'chain' readings
+    (min-aggregation over the jittery tier reads low); a faster ab read
+    still wins over a slower ab one."""
+    w1 = OpWisdom(_op())
+    w1.runs.append(OpRun("(bm=64)", "p1", 2.0, "ab"))
+    w2 = OpWisdom(_op())
+    w2.runs.append(OpRun("(bm=64)", "p1", 1.0, "chain"))  # faster but jittery
+    m = merge_wisdom([[w1], [w2]])
+    assert m[0].runs[0].secs == 2.0 and m[0].runs[0].method == "ab"
+    w3 = OpWisdom(_op())
+    w3.runs.append(OpRun("(bm=64)", "p1", 1.5, "ab"))
+    m = merge_wisdom([[w1], [w3]])
+    assert m[0].runs[0].secs == 1.5 and m[0].runs[0].method == "ab"
+    # and an ab record upgrades a legacy one even when slower
+    w4 = OpWisdom(_op())
+    w4.runs.append(OpRun("(bm=64)", "p1", 3.0, "ab"))
+    w5 = OpWisdom(_op())
+    w5.runs.append(OpRun("(bm=64)", "p1", 0.5))
+    m = merge_wisdom([[w5], [w4]])
+    assert m[0].runs[0].method == "ab" and m[0].runs[0].secs == 3.0
 
 
 def test_wisdom_merge():
@@ -54,7 +79,13 @@ def test_profile_op_and_digest_anchor(tmp_path):
     tunes = [OpTune(), OpTune(bm=8, bn=128, bk=128), OpTune(use_xla=True)]
     wis = profile_op(be, Codegen(be), op, tunes, n_iters=2, log=lambda *a: None)
     assert len(wis.runs) == 3  # all tunes numerically agree with kg
+    assert all(r.method == "ab" for r in wis.runs)  # paired in-program tier
     assert "c" in wis.kg_digests
+    # explicit chain method keeps the standalone tier and tags it
+    be_c = make("be", "interp")
+    wis_c = profile_op(be_c, Codegen(be_c), op, tunes[:2], n_iters=2,
+                       method="chain", log=lambda *a: None)
+    assert all(r.method == "chain" for r in wis_c.runs)
     # anchor a second profile run against the stored digests
     fn = str(tmp_path / "kg.wis")
     write_wisdom(fn, [wis])
