@@ -19,6 +19,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 SETS = {
     # full 56x56+28x28 coverage: trunk + branch activations
     "res23": ["pool1", "res2*_relu", "res3*_relu"],
@@ -28,6 +30,8 @@ SETS = {
     "trunk23": ["pool1", "res2?_relu", "res3?_relu"],
     # extend into res4 (memory-bound at its margins only — expected ~nil)
     "res234": ["pool1", "res2*_relu", "res3*_relu", "res4*_relu"],
+    # the three 51.4 MB trunk reads only
+    "res2trunk": ["pool1", "res2?_relu"],
 }
 
 

@@ -31,6 +31,60 @@ def gen_rec():
     print(f"wrote {fn} ({len(recs)} records)")
 
 
+def _draw_shape(rng, cls: int) -> np.ndarray:
+    """One 16x16 RGB image of shape class `cls` (0=filled block, 1=hollow
+    frame, 2=horizontal stripes, 3=diagonal cross) with jittered geometry
+    and random fg/bg colors (kept apart so the classes stay learnable)."""
+    bg = rng.randint(0, 100, size=3)
+    fg = rng.randint(155, 256, size=3)
+    img = np.empty((16, 16, 3), np.uint8)
+    img[:] = bg
+    y0, x0 = rng.randint(1, 5, size=2)
+    sz = rng.randint(8, 12)
+    y1, x1 = min(y0 + sz, 15), min(x0 + sz, 15)
+    if cls == 0:  # filled block
+        img[y0:y1, x0:x1] = fg
+    elif cls == 1:  # hollow frame
+        img[y0:y1, x0:x1] = fg
+        img[y0 + 2:y1 - 2, x0 + 2:x1 - 2] = bg
+    elif cls == 2:  # horizontal stripes
+        phase = rng.randint(0, 4)
+        for y in range(16):
+            if (y + phase) % 4 < 2:
+                img[y, :] = fg
+    else:  # diagonal cross
+        off = rng.randint(-2, 3)
+        for y in range(16):
+            for d in (0, 1):
+                x = y + off + d
+                if 0 <= x < 16:
+                    img[y, x] = fg
+                x = 15 - y + off + d
+                if 0 <= x < 16:
+                    img[y, x] = fg
+    noise = rng.randint(-12, 13, size=(16, 16, 3))
+    return np.clip(img.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+
+
+def gen_shapes():
+    """Learnable 4-class synthetic set (VERDICT r2 item 5): the substrate
+    for the train->eval accuracy gate (tests/test_learning.py) and the
+    trained shapesnet.caffemodel fixture (testdata/train_shapesnet.py)."""
+    from boda_tpu.frontend.datum import encode_datum, rgb_to_datum, \
+        write_rec_records
+    for split, n, seed in (("train", 160, 1234), ("test", 64, 4321)):
+        rng = np.random.RandomState(seed)
+        recs = []
+        for i in range(n):
+            cls = i % 4
+            recs.append((f"{i:08d}",
+                         encode_datum(rgb_to_datum(_draw_shape(rng, cls),
+                                                   label=cls))))
+        fn = os.path.join(TD, "lmdb", f"shapes_{split}.rec")
+        write_rec_records(fn, recs)
+        print(f"wrote {fn} ({len(recs)} records)")
+
+
 def gen_velo():
     """3 packets, 12 blocks each: azimuth sweeps, ramp distances."""
     rng = np.random.RandomState(7)
@@ -132,6 +186,7 @@ def gen_avi():
 
 if __name__ == "__main__":
     gen_rec()
+    gen_shapes()
     gen_velo()
     gen_bag()
     gen_caffemodel()
