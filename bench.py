@@ -25,6 +25,15 @@ TITAN_X_RESNET50_IMG_S = 250.0
 V5E_BF16_PEAK_TFS = 197.0
 
 
+def _toolchain() -> str:
+    try:
+        import jax
+        import jaxlib
+        return f"jax={jax.__version__} jaxlib={jaxlib.__version__}"
+    except Exception:
+        return "unknown"
+
+
 def conv_only_mfu(eng, pipe, x, bench_secs: float, n_iters: int = 4) -> dict:
     """BASELINE.json's literal north star is 'ResNet-50 CONV-ONLY forward
     >= 70% of v5e MXU roofline' (not whole-net — ADVICE r2 #2): compute it
@@ -238,7 +247,10 @@ def main() -> int:
                    **({"compiler_options": copts} if copts else {}),
                    "secs_per_fwd": round(secs, 6),
                    "GF_per_s": round(fl * img / secs / 1e9, 1),
-                   **({"conv_only": conv_only} if conv_only else {})},
+                   **({"conv_only": conv_only} if conv_only else {}),
+                   # toolchain stamp: captures are only comparable within one
+                   # compiler generation (VERDICT r2 item 8)
+                   "toolchain": _toolchain()},
     }))
     return 0
 

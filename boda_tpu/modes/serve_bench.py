@@ -38,6 +38,11 @@ class ServeBench(Mode):
     # decoder caps ~150 img/s no matter how fast the engine is (the
     # reference's capture loop had the same camera/decode bound).
     cache_batches = Field(int, default="0", help="pre-decode N batches, cycle them")
+    # deterministic-output mode for the golden harness (test_cmds pins exact
+    # stdout): swap the timing fields for the served output's shape + a
+    # softmax sanity bit, which are run-to-run stable on CPU
+    report_perf = Field(bool, default="1",
+                        help="0: omit timing fields (deterministic output)")
 
     def main(self) -> None:
         import jax
@@ -76,6 +81,7 @@ class ServeBench(Mode):
 
         inflight = []
         n_done = 0
+        last = None
         if self.cache_batches > 0:
             cache = []
             cpaths = paths[: self.cache_batches * self.img]
@@ -89,7 +95,8 @@ class ServeBench(Mode):
             t0 = time.perf_counter()
             for i in range(self.n_batches):
                 u8 = jax.device_put(cache[i % len(cache)], dev)
-                inflight.append(served(weights, u8))
+                last = served(weights, u8)
+                inflight.append(last)
                 if len(inflight) > self.pipeline_depth:
                     inflight.pop(0).block_until_ready()
                 n_done += 1
@@ -106,7 +113,8 @@ class ServeBench(Mode):
                         break
                     _, rgba = r
                     u8 = jax.device_put(rgba, dev)
-                    inflight.append(served(weights, u8))
+                    last = served(weights, u8)
+                    inflight.append(last)
                     if len(inflight) > self.pipeline_depth:
                         inflight.pop(0).block_until_ready()
                     n_done += 1
@@ -114,8 +122,14 @@ class ServeBench(Mode):
                     o.block_until_ready()
             secs = time.perf_counter() - t0
         img_s = n_done * self.img / secs
-        print(json.dumps({"mode": "serve_bench", "net": pipe.name,
-                          "batches": n_done, "img": self.img,
-                          "img_per_sec": round(img_s, 1),
-                          "secs": round(secs, 3),
-                          "cached": bool(self.cache_batches)}))
+        rep = {"mode": "serve_bench", "net": pipe.name,
+               "batches": n_done, "img": self.img,
+               "cached": bool(self.cache_batches)}
+        if self.report_perf:
+            rep.update(img_per_sec=round(img_s, 1), secs=round(secs, 3))
+        else:
+            out = np.asarray(last, np.float32).reshape(self.img, -1)
+            rep.update(out_shape=list(np.asarray(last).shape),
+                       prob_ok=bool(abs(float(out.sum()) / self.img - 1.0)
+                                    < 2e-2))  # bf16 row sums
+        print(json.dumps(rep))

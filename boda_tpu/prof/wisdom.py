@@ -78,9 +78,22 @@ class OpWisdom:
 _HEADER = "boda_tpu wisdom v1"
 
 
+def _toolchain_tag() -> str:
+    """One-line toolchain stamp (VERDICT r2 item 8): per-op runtimes are only
+    comparable within one compiler generation, so persisted wisdom carries
+    the jax/jaxlib versions it was measured under."""
+    try:
+        import jax
+        import jaxlib
+        return f"# toolchain jax={jax.__version__} jaxlib={jaxlib.__version__}"
+    except Exception:
+        return "# toolchain unknown"
+
+
 def write_wisdom(fn: str, wis: list[OpWisdom]) -> None:
     with open(fn, "w") as f:
         f.write(_HEADER + "\n")
+        f.write(_toolchain_tag() + "\n")
         for w in wis:
             f.write(f"op {w.op.key()}\n")
             for name in sorted(w.kg_digests):
@@ -99,7 +112,7 @@ def read_wisdom(fn: str) -> list[OpWisdom]:
             raise ValueError(f"{fn}: bad wisdom header {header!r}")
         for ln, line in enumerate(f, start=2):
             line = line.rstrip("\n")
-            if not line:
+            if not line or line.startswith("#"):  # comment/toolchain tags
                 continue
             kind, _, rest = line.partition(" ")
             if kind == "op":
