@@ -549,6 +549,13 @@ class PallasFwd(FwdEngine):
     # and plain-NHWC inputs remain accepted (the fold then runs in-jit).
     input_s2d = Field(bool, default="0",
                       help="accept net input pre-folded to the stem_s2d layout")
+    # entry channel pad on top of input_s2d: the loader emits the folded
+    # input with channels zero-padded to this lane-aligned count (and the
+    # stem weights pad to match at upload), so XLA's entry-layout pad copy
+    # (the 108us/fwd inputs['data'] row, docs/mfu_ceiling.md) never runs.
+    # 0 = exact folded channels. Requires input_s2d.
+    input_pad_c = Field(int, default="0",
+                        help="pad the pre-folded entry channels to this count")
     # int8 MXU inference: dynamic symmetric quantization of conv/fc compute
     # (per-tensor act scales, per-out-channel weight scales, int32 acc).
     # See OpTune.int8 — this sets the engine-wide default; per-op tunes can
@@ -716,7 +723,8 @@ class PallasFwd(FwdEngine):
         # input_s2d stems MUST lower via the stem_s2d rule (the pre-folded
         # input shape only matches that rule's conv) — wins over wisdom/policy
         if op_name in getattr(self, "_input_s2d_ops", ()):
-            tune = dataclasses.replace(tune, stem_s2d=1)
+            tune = dataclasses.replace(tune, stem_s2d=1,
+                                       pad_c=self.input_pad_c)
         return tune
 
     def _build_sharded_fn(self, raw, in_names, out_names) -> Callable:
@@ -885,6 +893,9 @@ class PallasFwd(FwdEngine):
         # input_s2d (see the Field doc): net input node -> stem fold geometry
         self._input_s2d: dict[str, dict] = {}
         self._input_s2d_ops: set[str] = set()
+        if self.input_pad_c and not self.input_s2d:
+            raise ConfigError("input_pad_c requires input_s2d=1 (the pad is "
+                              "part of the host-folded entry layout)")
         if self.input_s2d and self.layout == "nhwc" and not pipe.bck_added:
             self._detect_input_s2d(pipe)
         # act_int8 (see the Field doc): resolve patterns -> per-node static
@@ -921,12 +932,18 @@ class PallasFwd(FwdEngine):
                                  int(op.p("groups", 1)))
             if geom is None:
                 continue
+            c_fold = geom["sb"] ** 2 * geom["cin"]
+            if self.input_pad_c and self.input_pad_c < c_fold:
+                raise ConfigError(
+                    f"input_pad_c={self.input_pad_c} < folded channels "
+                    f"{c_fold} for input {n!r}")
+            geom["c_eff"] = max(self.input_pad_c, c_fold) \
+                if self.input_pad_c else c_fold
             self._input_s2d[n] = geom
             self._input_s2d_ops.add(op.name)
             self._info_log.append(
                 f"{op.name}: input_s2d on {n!r} -> "
-                f"(*, {geom['xs_h']}, {geom['xs_w']}, "
-                f"{geom['sb'] ** 2 * geom['cin']})")
+                f"(*, {geom['xs_h']}, {geom['xs_w']}, {geom['c_eff']})")
 
     def host_input_s2d(self, node: str, x_nhwc):
         """Host-side (numpy) fold of an NHWC batch into the pre-folded
@@ -937,7 +954,13 @@ class PallasFwd(FwdEngine):
         if geom is None:
             raise PipeError(f"input {node!r} has no input_s2d fold "
                             f"(have {sorted(self._input_s2d)})")
-        return host_stem_s2d(x_nhwc, geom)
+        xs = host_stem_s2d(x_nhwc, geom)
+        c_fold = xs.shape[-1]
+        if geom.get("c_eff", c_fold) > c_fold:
+            import numpy as _np
+            xs = _np.pad(xs, ((0, 0), (0, 0), (0, 0),
+                              (0, geom["c_eff"] - c_fold)))
+        return xs
 
     def _resolve_act_int8(self, pipe: ConvPipe, ctx: LowerCtx) -> None:
         """Resolve act_int8 patterns into self._act_q: node -> (unsigned,
@@ -1570,8 +1593,10 @@ class PallasFwd(FwdEngine):
                     nhwc = (ld[2], ld[3], ld[1])
                     g = self._input_s2d.get(k) if hasattr(self, "_input_s2d") \
                         else None
-                    if g is not None and tuple(v.shape[1:]) == \
-                            (g["xs_h"], g["xs_w"], g["sb"] ** 2 * g["cin"]):
+                    if g is not None and v.shape[1:3] == \
+                            (g["xs_h"], g["xs_w"]) and v.shape[3] in (
+                            g["sb"] ** 2 * g["cin"],
+                            g.get("c_eff", g["sb"] ** 2 * g["cin"])):
                         # pre-folded stem_s2d layout from the host loader —
                         # the stem conv's lowering consumes it directly
                         vals[k] = v

@@ -207,32 +207,51 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
         conv = conv_f32acc(("NHWC", "HWIO", "NHWC"), (1, 1),
                            ((0, 0), (0, 0)), 1, (1, 1), prec)
 
-        def prep_w(w):  # OIHW -> folded (m, m, sb*sb*C, O)
+        # entry channel pad (tune.pad_c): folded channels zero-padded to a
+        # lane-aligned count chosen by the engine/loader, weights padded to
+        # match — the conv result is identical (zero lanes contribute 0)
+        c_eff = max(tune.pad_c, sb * sb * cin) if tune.pad_c else \
+            sb * sb * cin
+
+        def prep_w(w):  # OIHW -> folded (m, m, c_eff, O)
             wh = w.transpose(2, 3, 1, 0)                      # HWIO
             wh = jnp.pad(wh, ((0, m * sb - kk), (0, m * sb - kk),
                               (0, 0), (0, 0)))
             wh = wh.reshape(m, sb, m, sb, cin, -1)
-            return wh.transpose(0, 2, 1, 3, 4, 5).reshape(m, m,
-                                                          sb * sb * cin, -1)
+            wh = wh.transpose(0, 2, 1, 3, 4, 5).reshape(m, m,
+                                                        sb * sb * cin, -1)
+            if c_eff > sb * sb * cin:
+                wh = jnp.pad(wh, ((0, 0), (0, 0),
+                                  (0, c_eff - sb * sb * cin), (0, 0)))
+            return wh
 
         def inv_w(g):   # folded grad -> OIHW
+            g = g[:, :, :sb * sb * cin]
             g = g.reshape(m, m, sb, sb, cin, -1)
             g = g.transpose(0, 2, 1, 3, 4, 5).reshape(m * sb, m * sb, cin, -1)
             return g[:kk, :kk].transpose(3, 2, 0, 1)
 
         def fn(x, w, b, residual=None):
-            if x.shape[1] == xs_h and x.shape[-1] == sb * sb * cin:
+            if x.shape[1] == xs_h and x.shape[-1] in (sb * sb * cin, c_eff):
                 # input arrives PRE-FOLDED (host-side s2d at load time — see
                 # PallasFwd.input_s2d): the per-forward pad+reshape+minor-dim
                 # transpose, the expensive part of the in-jit fold on TPU,
-                # never touches the device
+                # never touches the device. Under pad_c the loader emits the
+                # channel-padded layout directly; an unpadded arrival is
+                # padded in-jit (e.g. the logical-layout fallback path).
                 xsd = x
+                if x.shape[-1] < c_eff:
+                    xsd = jnp.pad(xsd, ((0, 0), (0, 0), (0, 0),
+                                        (0, c_eff - x.shape[-1])))
             else:
                 xp = jnp.pad(x, ((0, 0), (p[0], pad_r_y), (p[1], pad_r_x),
                                  (0, 0)))
                 xsd = xp.reshape(x.shape[0], xs_h, sb, xs_w, sb, cin)
                 xsd = xsd.transpose(0, 1, 3, 2, 4, 5).reshape(
                     x.shape[0], xs_h, xs_w, sb * sb * cin)
+                if c_eff > sb * sb * cin:
+                    xsd = jnp.pad(xsd, ((0, 0), (0, 0), (0, 0),
+                                        (0, c_eff - sb * sb * cin)))
             out = conv(xsd, w) + b.reshape(1, 1, 1, -1)
             if residual is not None:
                 out = out + residual.astype(out.dtype)

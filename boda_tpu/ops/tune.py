@@ -46,6 +46,12 @@ class OpTune:
     # net_tune/wisdom turn it on per-op where the A/B harness validates it.
     # 0 = off (default), 1 = force where legal.
     stem_s2d: int = 0
+    # stem_s2d entry channel pad: treat the folded input as having this many
+    # channels (>= sb*sb*cin, zero-filled), with the folded weights padded to
+    # match. Lets the host loader emit a lane-aligned entry layout so XLA's
+    # entry pad copy (the 108us/fwd inputs['data'] row in the r50 per-op
+    # trace, docs/mfu_ceiling.md) never runs. 0 = exact channels (default).
+    pad_c: int = 0
     # halo-conv tap concatenation: gather all kh*kw shifted views into one
     # (boy*owp, kh*kw*c) operand and run ONE deep-K matmul instead of kh*kw
     # separate K=c dots (amortizes MXU pipeline fill + per-tap shift/adds).

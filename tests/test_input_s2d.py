@@ -87,6 +87,41 @@ def test_input_s2d_skips_multi_consumer_input():
         eng.host_input_s2d("data", np.zeros((1, 16, 16, 3), np.float32))
 
 
+def test_input_pad_c_matches_plain_engine():
+    """input_pad_c: host-padded lane-aligned entry (zero channels, padded
+    stem weights) is exactly equivalent on all three arrival paths."""
+    pipe, in_dims = stem_net()
+    rng = np.random.RandomState(7)
+    x = rng.randn(*in_dims["data"].shape).astype(np.float32)
+    p0, _ = stem_net()
+    e0 = make("conv_fwd", "pallas")
+    e0.init(p0)
+    ref = e0.run_fwd({"data": NDA(in_dims["data"], x)}, ["prob"])["prob"].data
+
+    p1, _ = stem_net()
+    e1 = make("conv_fwd", "pallas", input_s2d=True, input_pad_c=32)
+    e1.init(p1)
+    fx = _fold_nda(e1, in_dims, x)
+    assert fx.data.shape[-1] == 32  # host emits the padded layout
+    assert np.all(fx.data[..., 12:] == 0)
+    got = e1.run_fwd({"data": fx}, ["prob"])["prob"].data
+    assert comp_vars(ref, got, mrd_toler=1e-5, atol=1e-6).ok()
+    # logical NCHW arrival pads in-jit
+    got2 = e1.run_fwd({"data": NDA(in_dims["data"], x)}, ["prob"])["prob"].data
+    assert comp_vars(ref, got2, mrd_toler=1e-5, atol=1e-6).ok()
+
+
+def test_input_pad_c_validation():
+    pipe, _ = stem_net()
+    with pytest.raises(Exception, match="requires input_s2d"):
+        e = make("conv_fwd", "pallas", input_pad_c=32)
+        e.init(pipe)
+    p2, _ = stem_net()
+    with pytest.raises(Exception, match="input_pad_c=4 < folded channels"):
+        e = make("conv_fwd", "pallas", input_s2d=True, input_pad_c=4)
+        e.init(p2)
+
+
 def test_input_s2d_skips_nonqualifying_stem():
     b = NetBuilder("s1stem")  # stride-1 stem: no fold applies
     t = b.input("data")
