@@ -159,8 +159,13 @@ def main() -> int:
             kw["calib_fn"] = calib
         if copts:
             kw["compiler_options"] = copts
+    # BENCH_PAD_C=<n>: loader-padded lane-aligned entry channels (the
+    # host-padded entry experiment, scripts/exp_entry_pad_ab.py)
+    pad_c = int(os.environ.get("BENCH_PAD_C", "0"))
     if in_s2d and engine == "pallas":
         kw["input_s2d"] = True
+        if pad_c:
+            kw["input_pad_c"] = pad_c
     eng = make("conv_fwd", engine, precision=prec, compute_tn=ctn, **kw)
     eng.init(pipe)
     d = in_dims["data"]
@@ -241,6 +246,8 @@ def main() -> int:
                       else {}),
                    **({"input_s2d": True} if in_s2d and engine == "pallas"
                       else {}),
+                   **({"input_pad_c": pad_c} if pad_c and in_s2d and
+                      engine == "pallas" else {}),
                    **({"int8": True} if int8 else {}),
                    **({"calib": calib} if calib else {}),
                    **({"batch_split": bsplit} if bsplit else {}),
