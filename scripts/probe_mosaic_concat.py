@@ -18,6 +18,7 @@ import sys
 def main() -> int:
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from jax.experimental import pallas as pl
 
     def kern(a_ref, b_ref, o_ref):
@@ -36,6 +37,35 @@ def main() -> int:
     except Exception as e:
         msg = str(e).split("\n")[0][:200]
         print(f"UNSUPPORTED: {type(e).__name__}: {msg} (jax {jax.__version__})")
+
+    # The pattern tap_cat ACTUALLY needs (conv.py:516): lane-concat of
+    # column-shifted slices, whose sublane/lane offsets differ per view.
+    # The f32 path realigns with pltpu.roll (32-bit-only dynamic_rotate);
+    # if this compiles for bf16, plain shifted-slice tap_cat unblocks for
+    # sub-32-bit dtypes with no roll at all.
+    owp, wp, c, kw = 16, 24, 128, 3
+
+    def kern2(x_ref, o_ref):
+        views = [x_ref[:, kx:kx + owp, :] for kx in range(kw)]
+        o_ref[:] = jnp.concatenate(views, axis=-1)
+
+    x = jnp.asarray(np.arange(8 * wp * c).reshape(8, wp, c) % 251,
+                    jnp.bfloat16)
+    try:
+        out2 = pl.pallas_call(
+            kern2,
+            out_shape=jax.ShapeDtypeStruct((8, owp, kw * c), jnp.bfloat16),
+        )(x)
+        want = np.concatenate(
+            [np.asarray(x, np.float32)[:, kx:kx + owp, :] for kx in range(kw)],
+            axis=-1)
+        ok2 = bool(np.array_equal(np.asarray(out2, np.float32), want))
+        print(f"OK: bf16 SHIFTED-slice lane concat compiles, correct={ok2} "
+              f"(jax {jax.__version__}) -> bf16 tap_cat viable without roll")
+    except Exception as e:
+        msg = str(e).split("\n")[0][:200]
+        print(f"UNSUPPORTED (shifted): {type(e).__name__}: {msg} "
+              f"(jax {jax.__version__})")
     return 0
 
 
