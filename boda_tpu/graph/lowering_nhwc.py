@@ -419,6 +419,46 @@ def _nhwc_ip(pipe, op, ctx, tune, info_log):
 
 # -- spatial ops --------------------------------------------------------------------
 
+def _pool_shift_fn(k, s, pad_y, pad_x, oy, ox, avg, iy, ix, p):
+    """Pooling as k*k shifted strided slices + a max/add tree
+    (tune.pool_shift=1): semantically identical to the reduce_window
+    lowering, but expressed as plain slices and elementwise ops that
+    XLA's fusion handles like any other — sidestepping the reduce_window
+    emitter's batch-64 pathology (4x over linear scaling on r50 pool1;
+    docs/mfu_ceiling.md b64 table)."""
+    import numpy as np
+    div = None
+    if avg:
+        # non-padding pixels only (ref test/rtc/pool.cucl avg_pool_sz)
+        def divisor(o, in_sz, kk, ss, pp):
+            st = o * ss - pp
+            en = min(st + kk, in_sz)
+            return en - max(st, 0)
+        dy = np.array([divisor(o, iy, k[0], s[0], p[0]) for o in range(oy)],
+                      np.float32)
+        dx = np.array([divisor(o, ix, k[1], s[1], p[1]) for o in range(ox)],
+                      np.float32)
+        div = jnp.asarray((dy[:, None] * dx[None, :]).reshape(1, oy, ox, 1))
+
+    def fn(x):
+        init = 0.0 if avg else -np.inf
+        xp = jnp.pad(x.astype(jnp.float32), ((0, 0), pad_y, pad_x, (0, 0)),
+                     constant_values=init)
+        acc = None
+        for ky in range(k[0]):
+            for kx in range(k[1]):
+                v = lax.slice(
+                    xp, (0, ky, kx, 0),
+                    (xp.shape[0], ky + (oy - 1) * s[0] + 1,
+                     kx + (ox - 1) * s[1] + 1, xp.shape[3]),
+                    (1, s[0], s[1], 1))
+                acc = v if acc is None else \
+                    (acc + v if avg else jnp.maximum(acc, v))
+        out = acc / div if avg else acc
+        return (out.astype(x.dtype),)
+    return fn
+
+
 @nhwc_rule("Pooling")
 def _nhwc_pool(pipe, op, ctx, tune, info_log):
     k, s, p = op.kern_sz(), op.stride(), op.pad()
@@ -429,6 +469,9 @@ def _nhwc_pool(pipe, op, ctx, tune, info_log):
     oy, ox = od["y"], od["x"]
     pad_y = (p[0], max(0, (oy - 1) * s[0] + k[0] - iy - p[0]))
     pad_x = (p[1], max(0, (ox - 1) * s[1] + k[1] - ix - p[1]))
+    if tune.pool_shift:
+        return _no_preps(_pool_shift_fn(k, s, pad_y, pad_x, oy, ox, avg,
+                                        iy, ix, p))
     if avg:
         import numpy as np
 

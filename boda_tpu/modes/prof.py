@@ -49,6 +49,8 @@ class OpsProf(Mode):
         if self.wisdom_in_fn:
             kg_map = {w.op.key(): w for w in read_wisdom(self.wisdom_in_fn)}
         out = []
+        fn = self.out_path(os.path.basename(self.wisdom_out_fn)) \
+            if os.path.dirname(self.wisdom_out_fn) in ("", ".") else self.wisdom_out_fn
         cg = Codegen(self.be)  # one codegen: unique func naming across ops
         for op in ops:
             self.be.release_all_vars()
@@ -66,11 +68,10 @@ class OpsProf(Mode):
                            kg_wisdom=kg_map.get(op.key()),
                            method=self.method)
             out.append(w)
-        fn = self.out_path(os.path.basename(self.wisdom_out_fn)) \
-            if os.path.dirname(self.wisdom_out_fn) in ("", ".") else self.wisdom_out_fn
+            # incremental write: a killed/timed-out run keeps its finished ops
+            write_wisdom(fn, out)
         write_wisdom(fn, out)
-        import os as _os
-        print(f"wrote wisdom for {len(out)} ops to {_os.path.basename(fn)}")
+        print(f"wrote wisdom for {len(out)} ops to {os.path.basename(fn)}")
 
 
 @register("mode", "gen_prof_ops", help="emit a net's conv/fc op-signature corpus")

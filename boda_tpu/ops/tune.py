@@ -78,6 +78,14 @@ class OpTune:
     # instead of emulating bit-drop in f32, actually run the MXU in int8
     # (v5e: 394 TOPS int8 vs 197 TFLOP/s bf16).
     int8: bool = False
+    # pooling via shifted strided slices (k*k slice+max/add tree) instead of
+    # lax.reduce_window. The b64 per-op trace (docs/mfu_ceiling.md) shows
+    # XLA's reduce_window emitter going 4x over its linear-scaling time on
+    # r50 pool1 at batch 64 (325 vs 80 us/fwd) while every conv scales
+    # linearly; the slice form expresses the same max/avg as plain
+    # elementwise ops XLA fuses normally. 0 = reduce_window (default),
+    # 1 = shifted slices.
+    pool_shift: int = 0
     # precision / layout
     acc_tn: str = "float32"   # accumulation dtype (always f32 on MXU)
     in_tn: str = ""           # compute dtype override ('' = keep input dtype)
