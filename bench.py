@@ -159,6 +159,12 @@ def main() -> int:
             kw["calib_fn"] = calib
         if copts:
             kw["compiler_options"] = copts
+    # BENCH_POT='(op=(knob=v,...),...)': per-op tune overrides (e.g.
+    # '(pool1=(pool_shift=1))' — the b64 pool emitter experiment)
+    pot = os.environ.get("BENCH_POT", "")
+    if pot:
+        from boda_tpu.utils.lexp import parse_lexp
+        kw["per_op_tune"] = {k: v for k, v in parse_lexp(pot).kids}
     # BENCH_PAD_C=<n>: loader-padded lane-aligned entry channels (the
     # host-padded entry experiment, scripts/exp_entry_pad_ab.py)
     pad_c = int(os.environ.get("BENCH_PAD_C", "0"))
