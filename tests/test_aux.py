@@ -104,6 +104,33 @@ def test_net_trace_mode(capsys, tmp_path):
     assert files, "no trace files written"
 
 
+def test_net_trace_wisdom_reconcile(capsys, tmp_path):
+    """net_trace --per-op --wisdom-fn joins each op's best wisdom runtime
+    (+ trust tier) against its in-net trace time (VERDICT r2 Weak #7)."""
+    from boda_tpu.modes.cnet import load_net
+    from boda_tpu.ops.sig_of import collect_net_sigs
+    from boda_tpu.prof.wisdom import OpRun, OpWisdom, write_wisdom
+    pipe, _ = load_net("mini_resnet", "", "", 2, 0)
+    wis = []
+    for sig in collect_net_sigs(pipe):
+        sig.dims_vals = {k: d.with_tn("bfloat16")
+                         for k, d in sig.dims_vals.items()}
+        wis.append(OpWisdom(sig, runs=[
+            OpRun("(use_xla=1)", "cpu:test", 1e-4, "ab"),
+            OpRun("(kg=1)", "cpu:test", 5e-5, "")]))  # faster but chain-tier
+    fn = str(tmp_path / "r.wis")
+    write_wisdom(fn, wis)
+    rc = main(["net_trace", "--model=mini_resnet", "--img=2", "--n-iters=1",
+               "--per-op=1", f"--wisdom-fn={fn}",
+               f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # ab-tier run preferred over the (faster) untagged chain-tier record
+    assert "wis    100.0us [ab]" in out
+    assert "wisdom reconciliation:" in out
+    assert "0/" not in out.split("wisdom reconciliation:")[1].split()[0]
+
+
 def test_net_trace_native_input(capsys, tmp_path):
     """net_trace --native feeds loader-layout (NHWC compute-dtype) input —
     the traced program matches the flagship bench configuration."""
