@@ -26,12 +26,9 @@ V5E_BF16_PEAK_TFS = 197.0
 
 
 def _toolchain() -> str:
-    try:
-        import jax
-        import jaxlib
-        return f"jax={jax.__version__} jaxlib={jaxlib.__version__}"
-    except Exception:
-        return "unknown"
+    # single source of truth for the stamp: prof/wisdom's header tag
+    from boda_tpu.prof.wisdom import _toolchain_tag
+    return _toolchain_tag().lstrip("# ").removeprefix("toolchain ")
 
 
 def conv_only_mfu(eng, pipe, x, bench_secs: float, n_iters: int = 4) -> dict:
@@ -50,15 +47,20 @@ def conv_only_mfu(eng, pipe, x, bench_secs: float, n_iters: int = 4) -> dict:
     import jax
 
     from boda_tpu.modes.net_trace import aggregate_trace, instr_op_map
+    import shutil
     td = tempfile.mkdtemp(prefix="bench_conv_trace_")
-    eng.run_fwd({"data": x}, ["prob"])  # warm outside the trace window
-    with jax.profiler.trace(td):
-        for _ in range(n_iters):
-            eng.run_fwd({"data": x}, ["prob"])
-    raw = eng.build_raw_fn(["prob"])
-    hlo = jax.jit(raw).lower(dict(eng._weights_dev),
-                             {"data": np.asarray(x.data)}).compile().as_text()
-    per = aggregate_trace(td, instr_op_map(hlo))
+    try:
+        eng.run_fwd({"data": x}, ["prob"])  # warm outside the trace window
+        with jax.profiler.trace(td):
+            for _ in range(n_iters):
+                eng.run_fwd({"data": x}, ["prob"])
+        raw = eng.build_raw_fn(["prob"])
+        hlo = jax.jit(raw).lower(dict(eng._weights_dev),
+                                 {"data": np.asarray(x.data)}).compile() \
+            .as_text()
+        per = aggregate_trace(td, instr_op_map(hlo))
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
     tot_us = sum(per.values()) / n_iters
     if tot_us <= 0:
         return {"error": "empty trace"}
@@ -162,7 +164,7 @@ def main() -> int:
     # BENCH_POT='(op=(knob=v,...),...)': per-op tune overrides (e.g.
     # '(pool1=(pool_shift=1))' — the b64 pool emitter experiment)
     pot = os.environ.get("BENCH_POT", "")
-    if pot:
+    if pot and engine == "pallas":  # per_op_tune is a PallasFwd-only Field
         from boda_tpu.utils.lexp import parse_lexp
         kw["per_op_tune"] = {k: v for k, v in parse_lexp(pot).kids}
     # BENCH_PAD_C=<n>: loader-padded lane-aligned entry channels (the

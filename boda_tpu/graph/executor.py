@@ -621,6 +621,7 @@ class PallasFwd(FwdEngine):
             ((("block",) if self.fuse_block else ())) + \
             ((("prefold",) if self.prefold else ())) + \
             ((("input_s2d",) if self.input_s2d else ())) + \
+            (((f"pad_c{self.input_pad_c}",) if self.input_pad_c else ())) + \
             (tuple(sorted(map(str, self.batch_split)))
              if self.batch_split else ()) + \
             (("act_int8",) + tuple(sorted(map(str, self.act_int8)))
@@ -671,6 +672,8 @@ class PallasFwd(FwdEngine):
             # fusion fingerprint are excluded (they tuned a different program
             # and have been observed to regress this one)
             standalone = [r for r in w.runs if not r.plat.startswith("net:")]
+            ab = [r for r in standalone if r.method == "ab"]  # trust tiers
+            standalone = ab or standalone
             best = min(standalone, key=lambda r: r.secs) if standalone else None
         if best is None:
             return None
@@ -1593,7 +1596,7 @@ class PallasFwd(FwdEngine):
                     nhwc = (ld[2], ld[3], ld[1])
                     g = self._input_s2d.get(k) if hasattr(self, "_input_s2d") \
                         else None
-                    if g is not None and v.shape[1:3] == \
+                    if g is not None and v.ndim == 4 and v.shape[1:3] == \
                             (g["xs_h"], g["xs_w"]) and v.shape[3] in (
                             g["sb"] ** 2 * g["cin"],
                             g.get("c_eff", g["sb"] ** 2 * g["cin"])):

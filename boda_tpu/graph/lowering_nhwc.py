@@ -445,6 +445,7 @@ def _pool_shift_fn(k, s, pad_y, pad_x, oy, ox, avg, iy, ix, p):
         # dtype — comparison is exact in any dtype, and skipping the cast
         # avoids materializing a padded f32 copy of the input (the first
         # pool_shift A/B measured 0.83x at b64 WITH the cast)
+        out_tn = x.dtype
         if avg:
             x = x.astype(jnp.float32)
         init = 0.0 if avg else -np.inf
@@ -461,7 +462,7 @@ def _pool_shift_fn(k, s, pad_y, pad_x, oy, ox, avg, iy, ix, p):
                 acc = v if acc is None else \
                     (acc + v if avg else jnp.maximum(acc, v))
         out = acc / div if avg else acc
-        return (out.astype(x.dtype),)
+        return (out.astype(out_tn),)
     return fn
 
 

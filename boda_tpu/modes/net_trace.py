@@ -164,26 +164,24 @@ class NetTrace(Mode):
                            "runtime (+ trust tier) next to its in-net time")
 
     def _wisdom_by_op(self, pipe, eng) -> dict:
-        """graph-op name -> best wisdom run for that op's rtc signature,
-        at the engine's compute dtype. Prefers the ab trust tier (see
-        prof/wisdom.OpRun.method) over chain/legacy records."""
-        from ..ops.sig_of import rtc_sig_of
+        """graph-op name -> best wisdom run for that op's rtc signature.
+        Keys via the engine's own wisdom_sig (the one canonical keying —
+        writers and readers must agree or lookups silently miss) and
+        filters to this device's platform tag first, so a run imported
+        from another platform is never printed unmarked next to a TPU
+        trace row; OpWisdom.best prefers the ab trust tier."""
         from ..prof.wisdom import read_wisdom
         wis = {w.op.key(): w for w in read_wisdom(self.wisdom_fn)}
-        ctn = getattr(eng, "compute_tn", "") or ""
+        _, plat = eng.wisdom_plats()
         out = {}
-        for op_name, op in pipe.ops.items():
-            sig = rtc_sig_of(pipe, op)
+        for op_name in pipe.ops:
+            sig = eng.wisdom_sig(op_name)
             if sig is None:
                 continue
-            if ctn:
-                sig.dims_vals = {k: d.with_tn(ctn)
-                                 for k, d in sig.dims_vals.items()}
             w = wis.get(sig.key())
             if w is None:
                 continue
-            ab = [r for r in w.runs if r.method == "ab"]
-            best = (min(ab, key=lambda r: r.secs) if ab else w.best())
+            best = w.best(plat) or w.best()
             if best is not None:
                 out[op_name] = best
         return out
@@ -240,7 +238,8 @@ class NetTrace(Mode):
         imap = instr_op_map(hlo)
         um: dict[str, float] = {}
         per = aggregate_trace(td, imap, unmapped=um if self.unmapped else None)
-        wmap = self._wisdom_by_op(pipe, eng) if self.wisdom_fn else {}
+        wmap = self._wisdom_by_op(pipe, eng) \
+            if self.wisdom_fn and hasattr(eng, "wisdom_sig") else {}
         tot = sum(per.values())
         rows = sorted(per.items(), key=lambda kv: -kv[1])
         if self.top_k:

@@ -127,6 +127,8 @@ class ServeBench(Mode):
                "cached": bool(self.cache_batches)}
         if self.report_perf:
             rep.update(img_per_sec=round(img_s, 1), secs=round(secs, 3))
+        elif last is None:  # zero batches served (n_batches=0 / no frames)
+            rep.update(out_shape=[], prob_ok=False)
         else:
             out = np.asarray(last, np.float32).reshape(self.img, -1)
             rep.update(out_shape=list(np.asarray(last).shape),

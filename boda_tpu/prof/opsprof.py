@@ -105,8 +105,12 @@ def profile_op(be: Backend, cg: Codegen, op: Op, tunes: list[OpTune],
             continue
         passed.append((t, fi))
     plat = be.get_plat_tag()
+    # the ab path calls fi.fn locally and reads local var buffers; remote
+    # (ipc) backends register stubs with fn=None and (dims, None) vars, so
+    # fall back to the proxied time_func RPC (chain tier) there
     use_ab = method == "ab" and len(passed) >= 2 and in_names and \
-        passed and passed[0][1] is fis[0]
+        passed and passed[0][1] is fis[0] and \
+        all(fi.fn is not None for _, fi in passed)
     if use_ab:
         from .abtime import ab_compare
         ins = {p: be._get(p)[1] for p in in_names}

@@ -49,7 +49,14 @@ class OpWisdom:
     runs: list[OpRun] = field(default_factory=list)
 
     def best(self, plat: str | None = None) -> OpRun | None:
+        """Fastest run for plat, trusting tiers: ab-tier records (in-program
+        A/B) outrank chain/legacy ones regardless of their secs — a jittery
+        cross-program reading must not win the ranking over a paired one
+        (CLAUDE.md timing traps; cross-program comparisons jitter ~2x)."""
         cands = [r for r in self.runs if plat is None or r.plat == plat]
+        ab = [r for r in cands if r.method == "ab"]
+        if ab:
+            cands = ab
         return min(cands, key=lambda r: r.secs) if cands else None
 
     def merge_from(self, o: "OpWisdom") -> None:

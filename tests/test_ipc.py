@@ -105,3 +105,23 @@ def test_cs_test_master_mode(tmp_path):
     rc = main(["cs_test_master", "--worker-be=(be=interp)", "--n=1000",
                f"--boda-output-dir={tmp_path}"])
     assert rc == 0
+
+
+def test_ipc_profile_op_ab_falls_back_to_chain():
+    """ops_prof --method=ab over an ipc backend: remote stubs have fn=None
+    and (dims, None) local vars, so the in-program A/B path is unreachable —
+    profile_op must fall back to the proxied time_func RPC (chain tier)
+    instead of crashing (regression: TypeError calling None)."""
+    from boda_tpu.prof.opsprof import profile_op
+    from boda_tpu.ops.tune import OpTune
+    be = _make_ipc()
+    try:
+        op = Op("sgemm", {}, {"a": Dims.of(M=32, K=32), "b": Dims.of(K=32, N=32),
+                              "c": Dims.of(M=32, N=32)})
+        tunes = [OpTune(), OpTune(bm=8, bn=128, bk=128)]
+        wis = profile_op(be, Codegen(be), op, tunes, n_iters=2, method="ab",
+                         log=lambda *a: None)
+        assert len(wis.runs) == 2
+        assert all(r.method == "chain" for r in wis.runs)
+    finally:
+        be.shutdown()

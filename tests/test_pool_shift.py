@@ -44,3 +44,25 @@ def test_pool_shift_resnet_pools():
     ref = _run("resnet50", 1)
     alt = _run("resnet50", 1, tune=parse_lexp("(pool_shift=1)"))
     assert np.allclose(ref, alt, atol=1e-6), np.abs(ref - alt).max()
+
+
+def test_pool_shift_bf16_avg_dtype():
+    """bf16 engine: pool_shift avg pooling must return the input dtype
+    (regression: the f32 sum rebound `x`, so the cast-back was a no-op and
+    the pool node was emitted f32, diverging from the default lowering)."""
+    import jax.numpy as jnp
+
+    from boda_tpu.graph.lowering_nhwc import _pool_shift_fn
+    x = jnp.arange(2 * 8 * 8 * 4, dtype=jnp.bfloat16).reshape(2, 8, 8, 4) \
+        / 100.0
+    fn = _pool_shift_fn((2, 2), (2, 2), (0, 0), (0, 0), 4, 4, True, 8, 8,
+                        (0, 0))
+    (out,) = fn(x)
+    assert out.dtype == jnp.bfloat16
+    # bf16-engine whole-net equality on a model with a non-global avg path
+    ref = _run("mini_resnet", 2, compute_tn="bfloat16", precision="default")
+    alt = _run("mini_resnet", 2, compute_tn="bfloat16", precision="default",
+               tune=parse_lexp("(pool_shift=1)"))
+    assert ref.dtype == alt.dtype
+    assert np.allclose(np.asarray(ref, np.float32),
+                       np.asarray(alt, np.float32), atol=2e-2)

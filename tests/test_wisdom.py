@@ -122,3 +122,20 @@ def test_wis_merge_and_ana_modes(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "best" in out and "sgemm" in out
+
+
+def test_wisdom_best_prefers_ab_tier():
+    """OpWisdom.best ranks by trust tier first: a faster chain/legacy
+    reading must not out-rank an ab (in-program A/B) record — the engine's
+    _wisdom_tune and wis_ana both consume this ranking."""
+    w = OpWisdom(_op())
+    w.runs.append(OpRun("(bm=64)", "p1", 2.0, "ab"))
+    w.runs.append(OpRun("(bm=128)", "p1", 1.0, "chain"))  # faster, jittery
+    w.runs.append(OpRun("(bm=32)", "p1", 1.5, "ab"))
+    assert w.best("p1").tune == "(bm=32)"   # best among ab only
+    assert w.best().tune == "(bm=32)"
+    # with no ab records, plain min over the legacy tier still works
+    w2 = OpWisdom(_op())
+    w2.runs.append(OpRun("(bm=64)", "p1", 2.0))
+    w2.runs.append(OpRun("(bm=128)", "p1", 1.0, "chain"))
+    assert w2.best("p1").tune == "(bm=128)"
