@@ -58,7 +58,7 @@ def conv_only_mfu(eng, pipe, x, bench_secs: float, n_iters: int = 4) -> dict:
         hlo = jax.jit(raw).lower(dict(eng._weights_dev),
                                  {"data": np.asarray(x.data)}).compile() \
             .as_text()
-        per = aggregate_trace(td, instr_op_map(hlo))
+        per = aggregate_trace(td, instr_op_map(hlo, set(pipe.ops)))
     finally:
         shutil.rmtree(td, ignore_errors=True)
     tot_us = sum(per.values()) / n_iters

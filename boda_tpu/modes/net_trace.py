@@ -38,16 +38,26 @@ _INSTR_RE = re.compile(r'^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=')
 _CALLS_RE = re.compile(r'calls=%?([\w.\-]+)')
 
 
-def _scope_of(op_name_path: str) -> str:
+def _scope_of(op_name_path: str, op_names=None) -> str:
     path = op_name_path.split("/")
     # path like jit(net_fn)/<op_scope>/<prim>[...]; keep the op scope
-    return path[1] if len(path) > 1 and path[0].startswith("jit(") \
-        else path[0]
+    if len(path) > 1 and path[0].startswith("jit("):
+        path = path[1:]
+    if op_names:
+        # graph-op names may themselves contain '/' (caffe-style
+        # 'inception_3a/3x3' — ref nets/googlenet_conv layer names): keep
+        # the LONGEST segment-join that is a real op name, so such ops
+        # attribute to themselves instead of truncating to 'inception_3a'
+        for k in range(len(path), 1, -1):
+            if "/".join(path[:k]) in op_names:
+                return "/".join(path[:k])
+    return path[0]
 
 
-def instr_op_map(hlo_text: str) -> dict[str, str]:
+def instr_op_map(hlo_text: str, op_names=None) -> dict[str, str]:
     """HLO instruction name -> graph-op scope (the first named_scope segment
-    after the jit(...) root) from compiled-HLO op_name metadata.
+    after the jit(...) root, or the longest `/`-joined segment run naming an
+    op in `op_names`) from compiled-HLO op_name metadata.
 
     Two passes: direct metadata on the instruction line wins; a fusion/call
     instruction WITHOUT its own op_name is attributed to the dominant scope
@@ -65,7 +75,7 @@ def instr_op_map(hlo_text: str) -> dict[str, str]:
             continue
         r = _OPNAME_RE.search(ln)
         if r:
-            scope = _scope_of(r.group(2))
+            scope = _scope_of(r.group(2), op_names)
             out.setdefault(r.group(1), scope)
             if cur is not None:
                 comp_votes.setdefault(cur, {})
@@ -235,7 +245,7 @@ class NetTrace(Mode):
         ins = {"data": np.asarray(x.data)}
         hlo = jax.jit(raw).lower(dict(eng._weights_dev), ins) \
             .compile().as_text()
-        imap = instr_op_map(hlo)
+        imap = instr_op_map(hlo, set(pipe.ops))
         um: dict[str, float] = {}
         per = aggregate_trace(td, imap, unmapped=um if self.unmapped else None)
         wmap = self._wisdom_by_op(pipe, eng) \

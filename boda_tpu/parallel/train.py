@@ -110,10 +110,16 @@ def build_net_fn(pipe: ConvPipe, out_names: list[str],
     def _run_ops(op_names, vals, new_stats):
         for op_name in op_names:
             op = pipe.ops[op_name]
-            if bn_momentum > 0 and op.type == "BatchNorm":
-                outs = _bn_train(op, vals, new_stats)
-            else:
-                outs = lowered[op_name](*[vals[b] for b in op.bots])
+            # named_scope: op names survive into HLO op_name metadata on BOTH
+            # the forward ops and their autodiff adjoints (JAX keeps the name
+            # stack through jvp/transpose), so train_trace can attribute
+            # per-op fwd AND bwd device time (the reference's per-call timing
+            # role, ref src/rtc_fwd.cc:560-572, extended to training)
+            with jax.named_scope(op_name):
+                if bn_momentum > 0 and op.type == "BatchNorm":
+                    outs = _bn_train(op, vals, new_stats)
+                else:
+                    outs = lowered[op_name](*[vals[b] for b in op.bots])
             vals.update(zip(op.tops, outs))
 
     if segments is None:

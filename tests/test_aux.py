@@ -104,6 +104,26 @@ def test_net_trace_mode(capsys, tmp_path):
     assert files, "no trace files written"
 
 
+def test_scope_of_slash_named_ops():
+    """Caffe-style op names contain '/' ('inception_3a/3x3'); scope
+    extraction must attribute to the longest segment-join that names a real
+    op, not truncate at the first segment (the googlenet conv_only
+    ZeroDivisionError, round-4 census)."""
+    from boda_tpu.modes.net_trace import _scope_of, instr_op_map
+    ops = {"conv1/7x7_s2", "inception_3a/3x3", "inception_3a/output"}
+    p = "jit(net_fn)/inception_3a/3x3/conv_general_dilated"
+    assert _scope_of(p, ops) == "inception_3a/3x3"
+    assert _scope_of(p) == "inception_3a"  # legacy no-op_names behavior
+    assert _scope_of("jit(net_fn)/conv1/7x7_s2/add", ops) == "conv1/7x7_s2"
+    # non-matching paths keep first-segment fallback
+    assert _scope_of("jit(net_fn)/pool9/reduce_window", ops) == "pool9"
+    hlo = ('ENTRY %main (p: bf16[2]) -> bf16[2] {\n'
+           '  %c.1 = bf16[2] add(...), metadata={op_type="add" '
+           'op_name="jit(net_fn)/inception_3a/3x3/add"}\n'
+           '}\n')
+    assert instr_op_map(hlo, ops)["c.1"] == "inception_3a/3x3"
+
+
 def test_net_trace_wisdom_reconcile(capsys, tmp_path):
     """net_trace --per-op --wisdom-fn joins each op's best wisdom runtime
     (+ trust tier) against its in-net trace time (VERDICT r2 Weak #7)."""
