@@ -54,10 +54,8 @@ def _scope_of(op_name_path: str, op_names=None) -> str:
     return path[0]
 
 
-def instr_op_map(hlo_text: str, op_names=None) -> dict[str, str]:
-    """HLO instruction name -> graph-op scope (the first named_scope segment
-    after the jit(...) root, or the longest `/`-joined segment run naming an
-    op in `op_names`) from compiled-HLO op_name metadata.
+def _map_from_hlo(hlo_text: str, scope_fn) -> dict[str, str]:
+    """HLO instruction name -> scope_fn(op_name metadata path).
 
     Two passes: direct metadata on the instruction line wins; a fusion/call
     instruction WITHOUT its own op_name is attributed to the dominant scope
@@ -75,7 +73,7 @@ def instr_op_map(hlo_text: str, op_names=None) -> dict[str, str]:
             continue
         r = _OPNAME_RE.search(ln)
         if r:
-            scope = _scope_of(r.group(2), op_names)
+            scope = scope_fn(r.group(2))
             out.setdefault(r.group(1), scope)
             if cur is not None:
                 comp_votes.setdefault(cur, {})
@@ -90,6 +88,47 @@ def instr_op_map(hlo_text: str, op_names=None) -> dict[str, str]:
         if votes and instr not in out:
             out[instr] = max(votes, key=votes.get)
     return out
+
+
+def instr_op_map(hlo_text: str, op_names=None) -> dict[str, str]:
+    """HLO instruction name -> graph-op scope (the first named_scope segment
+    after the jit(...) root, or the longest `/`-joined segment run naming an
+    op in `op_names`) from compiled-HLO op_name metadata."""
+    return _map_from_hlo(hlo_text, lambda p: _scope_of(p, op_names))
+
+
+_XFORM_RE = re.compile(
+    r"\b(?:jvp|transpose|jit|vjp|vmap|pmap|checkpoint|remat|rematted"
+    r"|custom_jvp|custom_vjp|scan|while|cond)\(")
+
+
+def _train_scope_of(op_name_path: str, op_names) -> str:
+    """'<op or tag> [fwd|bwd]' for a train-step op_name path.
+
+    JAX keeps the named_scope stack through jvp/transpose by wrapping each
+    scope entry in the transform frame: an adjoint's path looks like
+    'jit(<lambda>)/transpose(jvp(conv1))/conv_general_dilated'. Phase is
+    read off 'transpose(' presence; the scope by stripping the transform
+    wrappers and matching the leftmost-longest '/'-join against real op
+    names (names may contain '/': 'inception_3a/3x3'). remat recompute is
+    forward computation and counts as fwd."""
+    phase = "bwd" if "transpose(" in op_name_path else "fwd"
+    segs = _XFORM_RE.sub("", op_name_path).replace(")", "").split("/")
+    for tag in ("__loss__", "__update__"):
+        if tag in segs:
+            return tag if tag == "__update__" else f"{tag} [{phase}]"
+    if op_names:
+        for i in range(len(segs)):
+            for k in range(len(segs), i, -1):
+                if "/".join(segs[i:k]) in op_names:
+                    return f'{"/".join(segs[i:k])} [{phase}]'
+    return f"(non-op) [{phase}]"
+
+
+def instr_train_map(hlo_text: str, op_names) -> dict[str, str]:
+    """Phase-aware instruction map for train-step traces: values are
+    '<op> [fwd]' / '<op> [bwd]' / '__update__' / '__loss__ [fwd|bwd]'."""
+    return _map_from_hlo(hlo_text, lambda p: _train_scope_of(p, op_names))
 
 
 def aggregate_trace(trace_dir: str, imap: dict[str, str],
@@ -283,3 +322,160 @@ class NetTrace(Mode):
             for name, us in sorted(um.items(),
                                    key=lambda kv: -kv[1])[: self.unmapped]:
                 print(f"  {name:<40} {us / self.n_iters:>10.1f} us/fwd")
+
+
+@register("mode", "train_trace",
+          help="per-op fwd/bwd device-time attribution of a training step")
+class TrainTrace(Mode):
+    """The train-side analog of ``net_trace --per-op`` (VERDICT r3 #2): run
+    real consecutive training steps under jax.profiler.trace and attribute
+    device time per graph op AND per phase (fwd / bwd / loss / update) via
+    the named_scope stack, which JAX preserves through jvp/transpose.
+    Defaults match the 'realistic' train_bench config (momentum + train-mode
+    BN). Prints the phase rollup with FLOP-based TF/s per phase (bwd convs
+    carry 2x fwd FLOPs: dgrad + wgrad), a per-type rollup (BatchNorm rows =
+    batch-stats cost), and the top-K per-op table.
+
+    Parity: the reference times generated per-call kernels
+    (ref src/rtc_fwd.cc:560-572) but has no training loop; this extends its
+    per-op timing role to the training step."""
+    model = Field(str, default="resnet50", help="zoo model")
+    ptt_fn = Field("filename", default="", help="caffe prototxt")
+    img = Field(int, default="32", help="batch size")
+    lr = Field(float, default="0.01", help="SGD learning rate")
+    clip_norm = Field(float, default="1.0", help="global-norm grad clip (0=off)")
+    momentum = Field(float, default="0.9", help="SGD momentum (0=plain SGD)")
+    bn_momentum = Field(float, default="0.1",
+                        help="train-mode BN EMA rate (0=inference-stats BN)")
+    weight_decay = Field(float, default="0.0", help="decoupled weight decay")
+    master_f32 = Field(bool, default="0",
+                       help="f32 master weights (compute in compute_tn)")
+    remat = Field(str, default="", help="rematerialization: '' | seg | full | dots")
+    compute_tn = Field(str, default="bfloat16",
+                       help="weight/activation dtype ('' = f32)")
+    n_iters = Field(int, default="4", help="traced steps")
+    trace_dir = Field(str, default="trace", help="trace output subdir")
+    top_k = Field(int, default="25", help="per-op table rows (0=all)")
+    unmapped = Field(int, default="0",
+                     help="also list top-N unattributed '(other)' event names")
+
+    def main(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.kernels.gen_data import gen_data_pattern
+        from ..parallel.train import find_logits_node, make_train_step
+        pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img, 0)
+        logits = find_logits_node(pipe)
+        step = make_train_step(
+            pipe, logits, lr=self.lr, clip_norm=self.clip_norm,
+            momentum=self.momentum, weight_decay=self.weight_decay,
+            bn_momentum=self.bn_momentum,
+            compute_dtype=(jnp.dtype(self.compute_tn)
+                           if self.master_f32 and self.compute_tn else None),
+            remat=self.remat)
+        d = in_dims["data"]
+        cdt = jnp.dtype(self.compute_tn) if self.compute_tn else jnp.float32
+        dev = jax.devices()[0]
+        wdt = np.float32 if self.master_f32 else cdt
+        weights = {k: jax.device_put(
+            np.asarray(w.data, np.float32).astype(wdt), dev)
+            for k, w in pipe.weights.items()}
+        x = jax.device_put(np.asarray(
+            gen_data_pattern(d.shape, d.tn)).astype(cdt), dev)
+        n_cls = int(np.prod(pipe.nodes[logits].dims.shape)) // self.img
+        labels = jax.device_put(
+            (np.arange(self.img) % n_cls).astype(np.int32), dev)
+        use_mom = self.momentum > 0
+        if use_mom:
+            from ..parallel.train import is_trainable
+            mom = {k: jnp.zeros(v.shape, jnp.float32)
+                   for k, v in weights.items() if is_trainable(k)}
+            jstep = jax.jit(lambda w, xx, ll, mm: step(w, {"data": xx},
+                                                       ll, mm))
+            loss, weights, mom = jstep(weights, x, labels, mom)  # warm
+            lowered = jstep.lower(weights, x, labels, mom)
+        else:
+            jstep = jax.jit(lambda w, xx, ll: step(w, {"data": xx}, ll))
+            loss, weights = jstep(weights, x, labels)  # warm
+            lowered = jstep.lower(weights, x, labels)
+        td = self.out_path(self.trace_dir)
+        with jax.profiler.trace(td):
+            for _ in range(self.n_iters):
+                if use_mom:
+                    loss, weights, mom = jstep(weights, x, labels, mom)
+                else:
+                    loss, weights = jstep(weights, x, labels)
+            # scalar D2H read INSIDE the window: dispatches are async and
+            # events of work still in flight when the profiler session
+            # closes are lost (block_until_ready can return early on this
+            # platform — CLAUDE.md trap #2)
+            loss_f = float(loss)
+        hlo = lowered.compile().as_text()
+        imap = instr_train_map(hlo, set(pipe.ops))
+        um: dict[str, float] = {}
+        per = aggregate_trace(td, imap,
+                              unmapped=um if self.unmapped else None)
+        n = self.n_iters
+        tot = sum(per.values())
+        # -- phase rollup with FLOP bases (bwd convs: dgrad + wgrad = 2x) --
+        ctypes = ("Convolution", "InnerProduct")
+        conv_fl = sum(pipe.op_flops(o) for o, op in pipe.ops.items()
+                      if op.type in ctypes)
+        def phase_us(ph):
+            return sum(us for s, us in per.items()
+                       if s.endswith(f"[{ph}]")) / n
+        def conv_us(ph):
+            return sum(us for s, us in per.items()
+                       if s.endswith(f"[{ph}]")
+                       and s[: -len(f" [{ph}]")] in pipe.ops
+                       and pipe.ops[s[: -len(f" [{ph}]")]].type
+                       in ctypes) / n
+        print(f"train-step phase rollup over {n} steps "
+              f"({len(imap)} mapped instrs, total {tot / n:.0f}us/step, "
+              f"loss {loss_f:.3f}):")
+        for ph, mult in (("fwd", 1.0), ("bwd", 2.0)):
+            pus, cus = phase_us(ph), conv_us(ph)
+            tfs = conv_fl * mult / (cus * 1e-6) / 1e12 if cus > 0 else 0.0
+            print(f"  {ph:<11} {pus:>9.1f} us/step "
+                  f"{100.0 * pus * n / max(tot, 1e-9):>5.1f}%   "
+                  f"conv {cus:>8.1f} us  {tfs:>6.1f} TF/s "
+                  f"({mult:.0f}x-fwd-FLOP basis)")
+        upd_us = per.get("__update__", 0.0) / n
+        print(f"  {'__update__':<11} {upd_us:>9.1f} us/step "
+              f"{100.0 * upd_us * n / max(tot, 1e-9):>5.1f}%")
+        oth = per.get("(other)", 0.0) / n
+        if oth:
+            print(f"  {'(other)':<11} {oth:>9.1f} us/step "
+                  f"{100.0 * oth * n / max(tot, 1e-9):>5.1f}%")
+        # -- per-type rollup (BatchNorm rows = batch-stats + normalize) --
+        bytype: dict[str, float] = {}
+        for s, us in per.items():
+            base = s.rsplit(" [", 1)[0]
+            t = pipe.ops[base].type if base in pipe.ops else base
+            bytype[t] = bytype.get(t, 0.0) + us
+        print("per-type device time:")
+        for t, us in sorted(bytype.items(), key=lambda kv: -kv[1]):
+            print(f"  {t:<24} {us / n:>10.1f} us/step "
+                  f"{100.0 * us / max(tot, 1e-9):>5.1f}%")
+        # -- per-op table: fwd + bwd side by side --
+        ops_fb: dict[str, list[float]] = {}
+        for s, us in per.items():
+            if s.endswith(" [fwd]") or s.endswith(" [bwd]"):
+                base, ph = s.rsplit(" [", 1)
+                d_i = 0 if ph.startswith("fwd") else 1
+                ops_fb.setdefault(base, [0.0, 0.0])[d_i] += us
+        rows = sorted(ops_fb.items(), key=lambda kv: -sum(kv[1]))
+        if self.top_k:
+            rows = rows[: self.top_k]
+        print("per-op fwd/bwd (us/step):")
+        for base, (fus, bus) in rows:
+            rat = bus / fus if fus > 0 else float("inf")
+            print(f"  {base:<28} fwd {fus / n:>9.1f}  bwd {bus / n:>9.1f}"
+                  f"  bwd/fwd {rat:>5.2f}")
+        if self.unmapped and um:
+            print(f"top unattributed event names "
+                  f"({len(um)} distinct, {sum(um.values()):.0f}us):")
+            for name, us in sorted(um.items(),
+                                   key=lambda kv: -kv[1])[: self.unmapped]:
+                print(f"  {name:<40} {us / n:>10.1f} us/step")

@@ -241,10 +241,13 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
     def loss_fn(train_w, frozen_w, inputs, labels):
         res = net_fn({**train_w, **frozen_w}, inputs)
         logits = res[logits_node]
-        logits = logits.reshape(logits.shape[0], -1).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels.reshape(-1, 1), axis=1)
-        return jnp.mean(nll), res.get("__bn_stats__", {})
+        # __loss__ scope: lets train_trace attribute softmax-CE time apart
+        # from net ops (its adjoint is likewise tagged)
+        with jax.named_scope("__loss__"):
+            logits = logits.reshape(logits.shape[0], -1).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels.reshape(-1, 1), axis=1)
+            return jnp.mean(nll), res.get("__bn_stats__", {})
 
     def train_step(weights, inputs, labels, mom_state=None, step=None):
         lr_t = lr if lr_schedule is None else lr_schedule(step)
@@ -268,29 +271,34 @@ def make_train_step(pipe: ConvPipe, logits_node: str, lr: float = 0.01,
         else:
             (loss, bn_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(train_w, frozen_w, inputs, labels)
-        grads = jax.tree_util.tree_map(
-            lambda g: g.astype(jnp.float32), grads)
-        if clip_norm > 0:
-            gnorm = jnp.sqrt(sum(
-                jnp.sum(jnp.square(g))
-                for g in jax.tree_util.tree_leaves(grads)))
-            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
-            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        if momentum > 0:
-            if mom_state is None:
+        # __update__ scope: clip + momentum + SGD apply, attributed apart
+        # from the net's fwd/bwd ops by train_trace
+        with jax.named_scope("__update__"):
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads)
+            if clip_norm > 0:
+                gnorm = jnp.sqrt(sum(
+                    jnp.sum(jnp.square(g))
+                    for g in jax.tree_util.tree_leaves(grads)))
+                scale = jnp.minimum(1.0,
+                                    clip_norm / jnp.maximum(gnorm, 1e-12))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            if momentum > 0:
+                if mom_state is None:
+                    mom_state = jax.tree_util.tree_map(
+                        lambda g: jnp.zeros_like(g), grads)
                 mom_state = jax.tree_util.tree_map(
-                    lambda g: jnp.zeros_like(g), grads)
-            mom_state = jax.tree_util.tree_map(
-                lambda m, g: momentum * m + g, mom_state, grads)
-            grads = mom_state
-        def upd(w, g):
-            delta = lr_t * g
-            if weight_decay > 0:  # decoupled (AdamW-style) decay
-                delta = delta + lr_t * weight_decay * w.astype(jnp.float32)
-            return (w.astype(jnp.float32) - delta).astype(w.dtype)
-        new_w = jax.tree_util.tree_map(upd, train_w, grads)
-        new_w.update(frozen_w)
-        new_w.update(bn_stats)  # EMA-updated running stats (train-mode BN)
+                    lambda m, g: momentum * m + g, mom_state, grads)
+                grads = mom_state
+            def upd(w, g):
+                delta = lr_t * g
+                if weight_decay > 0:  # decoupled (AdamW-style) decay
+                    delta = delta + lr_t * weight_decay \
+                        * w.astype(jnp.float32)
+                return (w.astype(jnp.float32) - delta).astype(w.dtype)
+            new_w = jax.tree_util.tree_map(upd, train_w, grads)
+            new_w.update(frozen_w)
+            new_w.update(bn_stats)  # EMA running stats (train-mode BN)
         if momentum > 0:
             return loss, new_w, mom_state
         return loss, new_w

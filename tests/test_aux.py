@@ -196,3 +196,41 @@ def test_named_scopes_in_lowering():
     txt = jax.jit(raw).lower(dict(eng._weights_dev), x).as_text(
         debug_info=True)
     assert 'loc("jit(net_fn)/s2b0_sc/' in txt
+
+
+def test_train_scope_of_phases():
+    """Train-step op_name paths wrap the scope in transform frames
+    ('transpose(jvp(conv1))'); phase + op must be recovered."""
+    from boda_tpu.modes.net_trace import _train_scope_of
+    ops = {"conv1", "inception_3a/3x3"}
+    assert _train_scope_of(
+        "jit(<lambda>)/jvp(conv1)/conv_general_dilated", ops) == "conv1 [fwd]"
+    assert _train_scope_of(
+        "jit(<lambda>)/transpose(jvp(conv1))/conv_general_dilated",
+        ops) == "conv1 [bwd]"
+    assert _train_scope_of(
+        "jit(<lambda>)/transpose(jvp(inception_3a/3x3))/add",
+        ops) == "inception_3a/3x3 [bwd]"
+    assert _train_scope_of("jit(<lambda>)/__update__/add", ops) == "__update__"
+    assert _train_scope_of(
+        "jit(<lambda>)/jvp(__loss__)/reduce_sum", ops) == "__loss__ [fwd]"
+    assert _train_scope_of(
+        "jit(<lambda>)/transpose(jvp(__loss__))/mul", ops) == "__loss__ [bwd]"
+    assert _train_scope_of(
+        "jit(<lambda>)/jvp(whatever)/mul", ops) == "(non-op) [fwd]"
+
+
+def test_train_trace_mode(capsys, tmp_path):
+    """train_trace attributes per-op fwd AND bwd device time of a real
+    momentum+train-BN step (the train-side net_trace; VERDICT r3 #2)."""
+    rc = main(["train_trace", "--model=mini_resnet", "--img=2",
+               "--n-iters=2", "--compute-tn=", f"--boda-output-dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "train-step phase rollup" in out
+    assert "__update__" in out
+    assert "per-op fwd/bwd" in out and "conv" in out
+    # both phases captured (the in-window D2H sync guarantees completion)
+    import re
+    m = re.search(r"bwd\s+([\d.]+) us/step", out)
+    assert m and float(m.group(1)) > 0, out
