@@ -24,15 +24,22 @@ from typing import Optional
 import numpy as np
 
 
+class MeshError(ValueError):
+    """Invalid mesh request (axis sizes vs available devices)."""
+
+
 def make_mesh(axis_sizes: dict[str, int], devices=None):
     import jax
     from jax.sharding import Mesh
     devices = devices if devices is not None else jax.devices()
     n = 1
-    for s in axis_sizes.values():
+    for ax, s in axis_sizes.items():
+        if not isinstance(s, int) or s < 1:
+            raise MeshError(f"mesh axis {ax!r} size must be a positive int, "
+                            f"got {s!r}")
         n *= s
     if n > len(devices):
-        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+        raise MeshError(f"mesh needs {n} devices, have {len(devices)}")
     arr = np.array(devices[:n]).reshape(tuple(axis_sizes.values()))
     return Mesh(arr, tuple(axis_sizes.keys()))
 
