@@ -1,0 +1,210 @@
+"""Toolchain watch: re-probe every closed perf-ledger item each session.
+
+The b64/b128/stem/int8 ledgers in docs/mfu_ceiling.md are all closed
+"until the compiler moves" (VERDICT r3 #5): each records an XLA/Mosaic
+behavior measured on one toolchain generation. This script makes that
+claim live instead of archival — run it at the START of each hardware
+session and log the output; any FLIPPED line re-opens the named ledger
+item.
+
+Items probed (one versioned verdict line each):
+  mosaic_concat  bf16 minor-dim concat in a Pallas kernel (blocks the
+                 fused-stem tap_cat design, docs/kernel_guide.md)
+  b64_pool1      reduce_window max-pool 3x3s2 @112px: b64-vs-b32
+                 device-time ratio (ledger: 4.1x over linear at b64,
+                 the XLA reduce_window emitter pathology)
+  b64_res2c      1x1 conv 256->64 @56px: b64-vs-b32 ratio (ledger: 2.9x
+                 over linear at b64, per-shape emitter choice)
+  int8_tops      2048^3 int8 vs bf16 matmul (ledger: act_int8 measured
+                 0.81-0.96x at four scopes; no int8 TOPS advantage
+                 reachable through this toolchain)
+
+Measurement: prof/abtime.ab_compare — both variants in ONE program
+(cond-branch scan legs), so the b64/b32 comparison shares dispatch path,
+compilation artifacts, and tunnel state. Ratios are device-time per
+DISPATCH of the two branch bodies; 'linear' batch scaling = 2.0.
+
+Usage:
+  python scripts/toolchain_watch.py [--log=docs/toolchain_watch.log]
+
+Parity: the re-test-and-merge discipline of the reference's op-tuner
+(ref src/op-tuner.cc:68-204), applied to compiler-behavior ledgers.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _toolchain() -> str:
+    import jax
+    import jaxlib
+    return f"jax={jax.__version__} jaxlib={jaxlib.__version__}"
+
+
+def probe_mosaic_concat() -> tuple[bool, str]:
+    """True = FLIPPED (concat now compiles -> re-open stem tap_cat)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kern(a_ref, b_ref, o_ref):
+        o_ref[:] = jnp.concatenate([a_ref[:], b_ref[:]], axis=-1)
+
+    a = jnp.ones((8, 128), jnp.bfloat16)
+    b = jnp.ones((8, 128), jnp.bfloat16) * 2
+    try:
+        out = pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.bfloat16))(a, b)
+        ok = float(out[:, :128].sum()) == 8 * 128 and \
+            float(out[:, 128:].sum()) == 2 * 8 * 128
+        return True, f"compiles, correct={ok}"
+    except Exception as e:
+        return False, f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+
+
+def _ab_ratio(raw_a, raw_b, weights, ins) -> tuple[float, float, float]:
+    """(secs_a, secs_b, ratio a/b) via in-program A/B."""
+    import jax
+
+    from boda_tpu.prof.abtime import ab_compare
+    dev = jax.devices()[0]
+    w = {k: jax.device_put(v, dev) for k, v in weights.items()}
+    di = {k: jax.device_put(v, dev) for k, v in ins.items()}
+    sa, sb = ab_compare(raw_a, raw_b, w, di)
+    return sa, sb, sa / sb
+
+
+def probe_b64_pool1() -> tuple[bool, str]:
+    """True = FLIPPED (b64 pool within 1.5x of linear -> re-open b64)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    def pool(x):
+        return lax.reduce_window(
+            x, -jnp.inf if x.dtype == jnp.float32 else
+            jnp.finfo(x.dtype).min, lax.max,
+            (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+
+    def raw_a(w, ins):  # b64
+        return {"o": pool(ins["x"])}
+
+    def raw_b(w, ins):  # b32 (first half of the same buffer)
+        return {"o": pool(ins["x"][:32])}
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 112, 112, 64).astype(np.float32)
+    import ml_dtypes
+    ins = {"x": x.astype(ml_dtypes.bfloat16)}
+    sa, sb, r = _ab_ratio(raw_a, raw_b, {}, ins)
+    over = r / 2.0  # linear batch scaling = 2.0
+    flipped = over < 1.5
+    return flipped, (f"b64 {sa*1e6:.0f}us vs b32 {sb*1e6:.0f}us ratio "
+                     f"{r:.2f} ({over:.2f}x over linear; ledger 4.1x)")
+
+
+def probe_b64_res2c() -> tuple[bool, str]:
+    """True = FLIPPED (b64 1x1@56px conv near-linear -> re-open b64)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    def conv(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def raw_a(w, ins):
+        return {"o": conv(ins["x"], w["f"])}
+
+    def raw_b(w, ins):
+        return {"o": conv(ins["x"][:32], w["f"])}
+
+    import ml_dtypes
+    rng = np.random.RandomState(0)
+    w = {"f": rng.randn(1, 1, 256, 64).astype(ml_dtypes.bfloat16)}
+    ins = {"x": rng.randn(64, 56, 56, 256).astype(ml_dtypes.bfloat16)}
+    sa, sb, r = _ab_ratio(raw_a, raw_b, w, ins)
+    over = r / 2.0
+    flipped = over < 1.5
+    return flipped, (f"b64 {sa*1e6:.0f}us vs b32 {sb*1e6:.0f}us ratio "
+                     f"{r:.2f} ({over:.2f}x over linear; ledger 2.9x)")
+
+
+def probe_int8_tops() -> tuple[bool, str]:
+    """True = FLIPPED (int8 matmul >1.3x faster than bf16 -> re-open
+    act_int8: the part/toolchain now exposes int8 TOPS)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    def raw_a(w, ins):  # int8 x int8 -> int32
+        o = lax.dot(ins["x8"], w["w8"],
+                    preferred_element_type=jnp.int32)
+        return {"o": o.astype(jnp.float32)}
+
+    def raw_b(w, ins):  # bf16 x bf16
+        return {"o": lax.dot(ins["xb"], w["wb"],
+                             preferred_element_type=jnp.float32)}
+
+    import ml_dtypes
+    rng = np.random.RandomState(0)
+    n = 2048
+    w = {"w8": rng.randint(-127, 127, (n, n)).astype(np.int8),
+         "wb": rng.randn(n, n).astype(ml_dtypes.bfloat16)}
+    ins = {"x8": rng.randint(-127, 127, (n, n)).astype(np.int8),
+           "xb": rng.randn(n, n).astype(ml_dtypes.bfloat16)}
+    sa, sb, r = _ab_ratio(raw_a, raw_b, w, ins)
+    speedup = sb / sa  # >1: int8 faster
+    flipped = speedup > 1.3
+    return flipped, (f"int8 {sa*1e6:.0f}us vs bf16 {sb*1e6:.0f}us "
+                     f"speedup {speedup:.2f}x (ledger: no int8 advantage)")
+
+
+PROBES = [
+    ("mosaic_concat", probe_mosaic_concat, "stem tap_cat kernel"),
+    ("b64_pool1", probe_b64_pool1, "b64 batch-scaling (pool emitter)"),
+    ("b64_res2c", probe_b64_res2c, "b64 batch-scaling (1x1@56 emitter)"),
+    ("int8_tops", probe_int8_tops, "act_int8 quantized serving"),
+]
+
+
+def main(argv) -> int:
+    log_fn = ""
+    for a in argv:
+        if a.startswith("--log="):
+            log_fn = a.split("=", 1)[1]
+    tc = _toolchain()
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    lines = [f"# toolchain_watch {stamp} {tc}"]
+    n_flip = 0
+    for name, fn, ledger in PROBES:
+        try:
+            flipped, detail = fn()
+        except Exception as e:  # a probe crash is INCONCLUSIVE, not a null
+            lines.append(f"WATCH {name}: INCONCLUSIVE "
+                         f"({type(e).__name__}: {str(e)[:120]})")
+            continue
+        if flipped:
+            n_flip += 1
+            lines.append(f"WATCH {name}: FLIPPED -> RE-OPEN [{ledger}] "
+                         f"| {detail}")
+        else:
+            lines.append(f"WATCH {name}: HOLDS | {detail}")
+    lines.append(f"toolchain_watch: {n_flip} flipped / {len(PROBES)} probes")
+    out = "\n".join(lines)
+    print(out)
+    if log_fn:
+        with open(log_fn, "a") as f:
+            f.write(out + "\n\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
