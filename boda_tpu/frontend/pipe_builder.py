@@ -427,10 +427,10 @@ def _feats_of(pipe: ConvPipe, node: str) -> int:
 
 
 def pipe_from_prototxt(ptt_fn: str, weights_fn: str = "", img: int = 0,
-                       in_sz: int = 0):
+                       in_sz: int = 0, seed: int = 1234):
     npm = parse_textproto_file(ptt_fn)
     weights = None
     if weights_fn:
         from .caffemodel import read_caffemodel
         weights = read_caffemodel(weights_fn)
-    return pipe_from_netparam(npm, weights, img=img, in_sz=in_sz)
+    return pipe_from_netparam(npm, weights, img=img, in_sz=in_sz, seed=seed)

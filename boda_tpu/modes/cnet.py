@@ -15,7 +15,7 @@ from ..utils.dims import NDA
 
 
 def load_net(model: str, ptt_fn: str, weights_fn: str, img: int,
-             in_sz: int = 0):
+             in_sz: int = 0, init_seed: int = 1234):
     if model and ptt_fn:
         raise ConfigError("give either --model= (zoo) or --ptt-fn= (prototxt), not both")
     if model:
@@ -36,7 +36,7 @@ def load_net(model: str, ptt_fn: str, weights_fn: str, img: int,
                 raise ConfigError(f"no weights file found among {cands}")
             weights_fn = existing[0]
         return pipe_from_prototxt(ptt_fn, weights_fn=weights_fn, img=img,
-                                  in_sz=in_sz)
+                                  in_sz=in_sz, seed=init_seed)
     raise ConfigError("one of --model= or --ptt-fn= is required")
 
 

@@ -45,9 +45,16 @@ class TrainLmdb(Mode):
     lr_step_size = Field(int, default="0", help="step-schedule period")
     # checkpoint/resume (parallel/checkpoint.py): atomic weights+momentum+
     # BN-stats+step snapshots; --resume=1 continues from ckpt_fn if present
+    init_seed = Field(int, default="1234",
+                      help="weight-init seed (prototxt nets; measures "
+                           "train-variance for the learning gates)")
     ckpt_fn = Field(str, default="", help="checkpoint file (enables saving)")
     ckpt_every = Field(int, default="0", help="save every N steps (0: at end only)")
     resume = Field(bool, default="0", help="resume from ckpt_fn if it exists")
+    curve_fn = Field(str, default="",
+                     help="write the loss curve (step<TAB>loss, 3 sig "
+                          "figs) to this output file — goldenable curve-"
+                          "shape pinning (VERDICT r3 #4)")
 
     def main(self) -> None:
         import jax
@@ -57,7 +64,7 @@ class TrainLmdb(Mode):
         from ..frontend.datum import parse_datum
         from ..parallel.train import find_logits_node, make_train_step
         pipe, in_dims = load_net(self.model, self.ptt_fn, "", self.img,
-                                 self.in_sz)
+                                 self.in_sz, init_seed=self.init_seed)
         logits = find_logits_node(pipe)
         cdt = jnp.dtype(self.compute_tn) if self.compute_tn else None
         from ..parallel.schedules import make_lr_schedule
@@ -129,6 +136,7 @@ class TrainLmdb(Mode):
                             if mom is not None else None)
 
         first = last = None
+        curve: list[tuple[int, float]] = []
         for i in range(start, self.n_steps):
             x, labels = batch_at(i)
             out = jstep(weights, {"data": x}, labels, mom,
@@ -145,6 +153,7 @@ class TrainLmdb(Mode):
             last = loss
             if i % max(1, self.log_every) == 0:
                 print(f"step {i}: loss {loss:.3g}")
+                curve.append((i, loss))
             if ckpt and self.ckpt_every and (i + 1) % self.ckpt_every == 0:
                 save(i + 1)
         if first is None:  # resumed past the end: keep the existing (newer)
@@ -154,6 +163,13 @@ class TrainLmdb(Mode):
             return
         if ckpt:
             save(self.n_steps)
+        if self.curve_fn:
+            cfn = self.out_path(self.curve_fn)
+            with open(cfn, "w") as f:
+                for s_i, lv in curve:
+                    f.write(f"{s_i}\t{lv:.3g}\n")
+            print(f"wrote loss curve ({len(curve)} points) to "
+                  f"{self.curve_fn}")
         print(f"train_lmdb: {self.n_steps - start} steps over {len(recs)} "
               f"records, loss {first:.3g} -> {last:.3g} "
               f"({'improved' if last < first else 'NOT improved'})")

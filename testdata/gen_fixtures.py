@@ -85,6 +85,84 @@ def gen_shapes():
         print(f"wrote {fn} ({len(recs)} records)")
 
 
+def _draw_shape10(rng, cls: int) -> np.ndarray:
+    """One 24x24 RGB image of shape class `cls` for the HARD synthetic set
+    (VERDICT r3 #4): 10 classes with heavier geometric jitter (translation,
+    scale, stripe phase/period, ring thickness) and per-image noise — the
+    augmentation lives in the generator, so every record is a distinct
+    variant. Classes: 0=filled block, 1=hollow frame, 2=h-stripes,
+    3=v-stripes, 4=diagonal cross, 5=disk, 6=ring, 7=triangle,
+    8=checkerboard, 9=single diagonal."""
+    n = 24
+    bg = rng.randint(0, 90, size=3)
+    fg = rng.randint(165, 256, size=3)
+    img = np.empty((n, n, 3), np.uint8)
+    img[:] = bg
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    cy, cx = rng.randint(9, 15, size=2)
+    r = rng.randint(6, 10)
+    if cls == 0:  # filled block
+        img[max(cy - r, 0):cy + r, max(cx - r, 0):cx + r] = fg
+    elif cls == 1:  # hollow frame
+        img[max(cy - r, 0):cy + r, max(cx - r, 0):cx + r] = fg
+        t = rng.randint(2, 4)
+        img[max(cy - r + t, 0):cy + r - t,
+            max(cx - r + t, 0):cx + r - t] = bg
+    elif cls == 2:  # horizontal stripes
+        p = rng.randint(4, 7)
+        img[((yy + rng.randint(0, p)) % p < p // 2)] = fg
+    elif cls == 3:  # vertical stripes
+        p = rng.randint(4, 7)
+        img[((xx + rng.randint(0, p)) % p < p // 2)] = fg
+    elif cls == 4:  # diagonal cross
+        off = rng.randint(-3, 4)
+        m = (np.abs(yy - xx + off) <= 1) | (np.abs(yy + xx - (n - 1) - off)
+                                            <= 1)
+        img[m] = fg
+    elif cls == 5:  # disk
+        img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = fg
+    elif cls == 6:  # ring
+        d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        t = rng.randint(2, 4)
+        img[(d2 <= r * r) & (d2 >= (r - t) ** 2)] = fg
+    elif cls == 7:  # filled triangle (apex up)
+        h = rng.randint(10, 16)
+        y0 = rng.randint(2, n - h - 1)
+        for i in range(h):
+            img[y0 + i,
+                max(cx - i // 2 - 1, 0):min(cx + i // 2 + 1, n)] = fg
+    elif cls == 8:  # checkerboard
+        p = rng.randint(3, 6)
+        m = ((yy // p) + (xx // p)) % 2 == 0
+        img[m] = fg
+    else:  # single diagonal
+        off = rng.randint(-3, 4)
+        sign = 1 if rng.randint(2) else -1
+        m = np.abs((yy if sign > 0 else (n - 1 - yy)) - xx + off) <= 1
+        img[m] = fg
+    noise = rng.randint(-14, 15, size=(n, n, 3))
+    return np.clip(img.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+
+
+def gen_shapes10():
+    """The HARD learnable set (VERDICT r3 #4): 10 classes, 24x24, heavy
+    jitter; substrate for the shapesnet2 trained fixture + tightened gates
+    (tests/test_learning.py)."""
+    from boda_tpu.frontend.datum import encode_datum, rgb_to_datum, \
+        write_rec_records
+    for split, n, seed in (("train", 600, 77), ("test", 200, 770)):
+        rng = np.random.RandomState(seed)
+        recs = []
+        for i in range(n):
+            cls = i % 10
+            recs.append((f"{i:08d}",
+                         encode_datum(rgb_to_datum(_draw_shape10(rng, cls),
+                                                   label=cls))))
+        fn = os.path.join(TD, "lmdb", f"shapes10_{split}.rec")
+        write_rec_records(fn, recs)
+        print(f"wrote {fn} ({len(recs)} records)")
+
+
 def gen_velo():
     """3 packets, 12 blocks each: azimuth sweeps, ramp distances."""
     rng = np.random.RandomState(7)
@@ -187,6 +265,7 @@ def gen_avi():
 if __name__ == "__main__":
     gen_rec()
     gen_shapes()
+    gen_shapes10()
     gen_velo()
     gen_bag()
     gen_caffemodel()
