@@ -31,7 +31,8 @@ def _toolchain() -> str:
     return _toolchain_tag().lstrip("# ").removeprefix("toolchain ")
 
 
-def conv_only_mfu(eng, pipe, x, bench_secs: float, n_iters: int = 4) -> dict:
+def conv_only_mfu(eng, pipe, x, bench_secs: float, n_iters: int = 4,
+                  out_node: str = "prob") -> dict:
     """BASELINE.json's literal north star is 'ResNet-50 CONV-ONLY forward
     >= 70% of v5e MXU roofline' (not whole-net — ADVICE r2 #2): compute it
     from the in-net per-op device trace (net_trace --per-op machinery) of
@@ -50,11 +51,11 @@ def conv_only_mfu(eng, pipe, x, bench_secs: float, n_iters: int = 4) -> dict:
     import shutil
     td = tempfile.mkdtemp(prefix="bench_conv_trace_")
     try:
-        eng.run_fwd({"data": x}, ["prob"])  # warm outside the trace window
+        eng.run_fwd({"data": x}, [out_node])  # warm outside the trace window
         with jax.profiler.trace(td):
             for _ in range(n_iters):
-                eng.run_fwd({"data": x}, ["prob"])
-        raw = eng.build_raw_fn(["prob"])
+                eng.run_fwd({"data": x}, [out_node])
+        raw = eng.build_raw_fn([out_node])
         hlo = jax.jit(raw).lower(dict(eng._weights_dev),
                                  {"data": np.asarray(x.data)}).compile() \
             .as_text()
@@ -194,13 +195,24 @@ def main() -> int:
             nd = Dims.of(img=d["img"], y=d["y"], x=d["x"], chan=d["chan"],
                          tn=(ctn or d.tn))
         x = NDA(nd, xh)
-    # correctness guard: prob must be a valid distribution
-    outs = eng.run_fwd({"data": x}, ["prob"])
-    psum = float(outs["prob"].data.sum(axis=1).mean())
-    if not (0.99 < psum < 1.01):
+    # detection nets (ssd*): the servable output is the decoded+NMS'd
+    # detection tensor, and the sanity guard is score validity, not a
+    # softmax row sum (BASELINE config 5 detection-path benchmark)
+    out_node = "detection_out" if model.startswith("ssd") else "prob"
+    # correctness guard
+    outs = eng.run_fwd({"data": x}, [out_node])
+    if out_node == "prob":
+        psum = float(outs["prob"].data.sum(axis=1).mean())
+        sane, why = 0.99 < psum < 1.01, f"bad prob sum {psum}"
+    else:
+        sc = np.asarray(outs[out_node].data, np.float32)[..., 2]
+        sane = bool(np.isfinite(sc).all() and (sc >= 0).all()
+                    and (sc <= 1).all())
+        why = "detection scores outside [0,1]"
+    if not sane:
         print(json.dumps({"metric": f"{model}_fwd_img_per_sec", "value": 0.0,
                           "unit": "img/s", "vs_baseline": 0.0,
-                          "error": f"bad prob sum {psum}"}))
+                          "error": why}))
         return 1
     # chain=8: eight data-dependent forwards per dispatch — over the remote-
     # TPU tunnel (~26ms RTT) unchained per-dispatch timing measures dispatch
@@ -220,7 +232,7 @@ def main() -> int:
     floor_s = (fl * img) / 500e12
     # n_iters=48: slope error scales 1/n — at n=24 a +-2ms endpoint residue
     # reads +-80us/fwd (4%); 48 halves it for ~2s more per rep
-    times = [eng.time_fwd({"data": x}, ["prob"], n_iters=48, chain=chain)
+    times = [eng.time_fwd({"data": x}, [out_node], n_iters=48, chain=chain)
              for _ in range(reps)]
     valid = [t for t in times if t >= floor_s]
     for t in times:
@@ -240,7 +252,7 @@ def main() -> int:
     conv_only = None
     if os.environ.get("BENCH_CONV_MFU", "1") == "1":
         try:
-            conv_only = conv_only_mfu(eng, pipe, x, secs)
+            conv_only = conv_only_mfu(eng, pipe, x, secs, out_node=out_node)
         except Exception as e:  # trace support is platform-best-effort
             conv_only = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps({

@@ -62,3 +62,37 @@ def test_detect_class_names_and_image(tmp_path):
     assert rc == 0
     dets = _read_dets(tmp_path / "dets.txt")
     assert dets and all(d[0] == "test1" and d[1] == "car" for d in dets)
+
+
+def test_ssd300_zoo_build_and_fwd():
+    """The full-scale detection net (BASELINE config 5): canonical SSD300
+    geometry (8732 priors over 38/19/10/5/3/1 grids, 4/6/6/6/4/4 priors
+    per location, dilated fc6) and a real forward producing decoded+NMS'd
+    detections identical across engines."""
+    from boda_tpu.config import make
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.kernels.gen_data import gen_data_pattern
+    from boda_tpu.utils.dims import NDA
+    pipe, in_dims = build_model("ssd300", img=1)
+    nd = pipe.nodes
+    assert nd["conv4_3"].dims["y"] == 38 and nd["fc7"].dims["y"] == 19
+    assert nd["conv9_2"].dims["y"] == 1
+    assert nd["mbox_priorbox"].dims["pbox"] == 8732 * 4
+    assert nd["mbox_loc"].dims["chan"] == 8732 * 4
+    assert tuple(nd["detection_out"].dims.shape) == (1, 1, 200, 7)
+    assert pipe.ops["fc6"].dilation() == (6, 6)
+    d = in_dims["data"]
+    x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
+    outs = {}
+    for mode in ("xla", "pallas"):
+        eng = make("conv_fwd", mode)
+        eng.init(pipe)
+        outs[mode] = eng.run_fwd({"data": x},
+                                 ["detection_out"])["detection_out"].data
+    a, b = outs["xla"][0, 0], outs["pallas"][0, 0]
+    assert np.isfinite(a).all()
+    assert (a[:, 2] >= 0).all() and (a[:, 2] <= 1).all()  # scores
+    # cross-engine agreement on class ids + scores of the kept detections
+    assert np.array_equal(a[:, 1], b[:, 1])
+    assert np.allclose(a[:, 2], b[:, 2], atol=1e-3)
+    assert np.allclose(a[:, 3:], b[:, 3:], atol=1e-3)
