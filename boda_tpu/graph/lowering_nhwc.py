@@ -466,6 +466,22 @@ def _pool_shift_fn(k, s, pad_y, pad_x, oy, ox, avg, iy, ix, p):
     return fn
 
 
+def _avg_divisor(iy, ix, k, s, p, oy, ox):
+    """(oy, ox) f32 per-window non-padding pixel counts (ref
+    test/rtc/pool.cucl avg_pool_sz semantics)."""
+    import numpy as np
+
+    def divisor(o, in_sz, kk, ss, pp):
+        st = o * ss - pp
+        en = min(st + kk, in_sz)
+        return en - max(st, 0)
+    dy = np.array([divisor(o, iy, k[0], s[0], p[0]) for o in range(oy)],
+                  np.float32)
+    dx = np.array([divisor(o, ix, k[1], s[1], p[1]) for o in range(ox)],
+                  np.float32)
+    return dy[:, None] * dx[None, :]
+
+
 @nhwc_rule("Pooling")
 def _nhwc_pool(pipe, op, ctx, tune, info_log):
     k, s, p = op.kern_sz(), op.stride(), op.pad()
@@ -479,19 +495,39 @@ def _nhwc_pool(pipe, op, ctx, tune, info_log):
     if tune.pool_shift:
         return _no_preps(_pool_shift_fn(k, s, pad_y, pad_x, oy, ox, avg,
                                         iy, ix, p))
-    if avg:
-        import numpy as np
+    bview = int(tune.pool_bview)
+    if bview > 1:
+        # batch-view escape (tune.pool_bview=k): identical windows over a
+        # (k, N/k, H, W, C) view — dodges per-shape reduce_window emitter
+        # pathologies (the b64 pool1 4.1x, docs/mfu_ceiling.md) without
+        # changing semantics. Padding/divisor math is the 4D rule's.
+        n_img = ind["img"]
+        if n_img % bview != 0:
+            raise ValueError(f"pool_bview={bview} must divide batch {n_img}")
 
+        def bview_fn(x):
+            xv = x.reshape((bview, n_img // bview) + x.shape[1:])
+            if avg:
+                out = lax.reduce_window(
+                    xv.astype(jnp.float32), 0.0, lax.add,
+                    window_dimensions=(1, 1, k[0], k[1], 1),
+                    window_strides=(1, 1, s[0], s[1], 1),
+                    padding=((0, 0), (0, 0), pad_y, pad_x, (0, 0)))
+                out = out / jnp.asarray(
+                    _avg_divisor(iy, ix, k, s, p, oy, ox)
+                    .reshape(1, 1, oy, ox, 1))
+            else:
+                out = lax.reduce_window(
+                    xv.astype(jnp.float32), -jnp.inf, lax.max,
+                    window_dimensions=(1, 1, k[0], k[1], 1),
+                    window_strides=(1, 1, s[0], s[1], 1),
+                    padding=((0, 0), (0, 0), pad_y, pad_x, (0, 0)))
+            return (out.astype(x.dtype).reshape((n_img,) + out.shape[2:]),)
+        return _no_preps(bview_fn)
+    if avg:
         # non-padding pixels only (ref test/rtc/pool.cucl avg_pool_sz)
-        def divisor(o, in_sz, kk, ss, pp):
-            st = o * ss - pp
-            en = min(st + kk, in_sz)
-            return en - max(st, 0)
-        dy = np.array([divisor(o, iy, k[0], s[0], p[0]) for o in range(oy)],
-                      np.float32)
-        dx = np.array([divisor(o, ix, k[1], s[1], p[1]) for o in range(ox)],
-                      np.float32)
-        div = jnp.asarray((dy[:, None] * dx[None, :]).reshape(1, oy, ox, 1))
+        div = jnp.asarray(
+            _avg_divisor(iy, ix, k, s, p, oy, ox).reshape(1, oy, ox, 1))
 
         def fn(x):
             sums = lax.reduce_window(

@@ -86,6 +86,12 @@ class OpTune:
     # elementwise ops XLA fuses normally. 0 = reduce_window (default),
     # 1 = shifted slices.
     pool_shift: int = 0
+    # pool over a reshaped (k, N/k, H, W, C) batch VIEW: same values, same
+    # windows, but a different shape for XLA's reduce_window emitter tiling
+    # choice. The b64 pool1 pathology is b64-SHAPE-specific (b32 and b128
+    # both scale linearly, mfu_ceiling.md) — this dodges the shape without
+    # changing semantics. 0 = off; k>0 must divide the batch.
+    pool_bview: int = 0
     # precision / layout
     acc_tn: str = "float32"   # accumulation dtype (always f32 on MXU)
     in_tn: str = ""           # compute dtype override ('' = keep input dtype)

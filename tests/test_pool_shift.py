@@ -66,3 +66,21 @@ def test_pool_shift_bf16_avg_dtype():
     assert ref.dtype == alt.dtype
     assert np.allclose(np.asarray(ref, np.float32),
                        np.asarray(alt, np.float32), atol=2e-2)
+
+
+def test_pool_bview_max_and_avg():
+    """pool_bview=2 (batch-view reduce_window — the b64 pool1 emitter
+    escape, VERDICT r3 #8) must equal the default lowering exactly for
+    max (r50 pool1 ceil geometry) and avg (alexnet/mini nets) pools."""
+    ref = _run("resnet50", 2)
+    alt = _run("resnet50", 2, tune=parse_lexp("(pool_bview=2)"))
+    assert np.allclose(ref, alt, atol=1e-6), np.abs(ref - alt).max()
+    ref = _run("alexnet_ng_conv", 2)
+    alt = _run("alexnet_ng_conv", 2, tune=parse_lexp("(pool_bview=2)"))
+    assert np.allclose(ref, alt, atol=1e-6), np.abs(ref - alt).max()
+
+
+def test_pool_bview_must_divide_batch():
+    import pytest
+    with pytest.raises(Exception, match="pool_bview=3 must divide batch"):
+        _run("mini_resnet", 2, tune=parse_lexp("(pool_bview=3)"))
