@@ -45,12 +45,14 @@ def _scope_of(op_name_path: str, op_names=None) -> str:
         path = path[1:]
     if op_names:
         # graph-op names may themselves contain '/' (caffe-style
-        # 'inception_3a/3x3' — ref nets/googlenet_conv layer names): keep
-        # the LONGEST segment-join that is a real op name, so such ops
-        # attribute to themselves instead of truncating to 'inception_3a'
-        for k in range(len(path), 1, -1):
-            if "/".join(path[:k]) in op_names:
-                return "/".join(path[:k])
+        # 'inception_3a/3x3' — ref nets/googlenet_conv layer names), and
+        # control-flow frames may PRECEDE the op scope (a traced chained
+        # program puts ops under 'while/body/...'): keep the
+        # leftmost-LONGEST contiguous segment-join naming a real op
+        for i in range(len(path)):
+            for k in range(len(path), i, -1):
+                if "/".join(path[i:k]) in op_names:
+                    return "/".join(path[i:k])
     return path[0]
 
 
