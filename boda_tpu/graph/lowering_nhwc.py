@@ -231,6 +231,11 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
             g = g.transpose(0, 2, 1, 3, 4, 5).reshape(m * sb, m * sb, cin, -1)
             return g[:kk, :kk].transpose(3, 2, 0, 1)
 
+        im2col = bool(tune.stem_im2col)
+        if im2col:
+            info_log.append(f"{op.name}: nhwc-stem_s2d im2col "
+                            f"K={m * m * c_eff}")
+
         def fn(x, w, b, residual=None):
             if x.shape[1] == xs_h and x.shape[-1] in (sb * sb * cin, c_eff):
                 # input arrives PRE-FOLDED (host-side s2d at load time — see
@@ -252,7 +257,23 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
                 if c_eff > sb * sb * cin:
                     xsd = jnp.pad(xsd, ((0, 0), (0, 0), (0, 0),
                                         (0, c_eff - sb * sb * cin)))
-            out = conv(xsd, w) + b.reshape(1, 1, 1, -1)
+            if im2col:
+                # tap matrix via m*m shifted slices concat on channel (XLA
+                # concat, NOT Mosaic — the tap_cat limitation is a Pallas
+                # one), then one (N*oy*ox, m*m*c_eff) x (m*m*c_eff, O) dot:
+                # the single-MXU-dot stem form (VERDICT r3 #3)
+                pat = jnp.concatenate(
+                    [xsd[:, dy:dy + oy, dx:dx + ox, :]
+                     for dy in range(m) for dx in range(m)], axis=-1)
+                n_ = pat.shape[0]
+                out = lax.dot_general(
+                    pat.reshape(n_ * oy * ox, m * m * c_eff),
+                    w.reshape(m * m * c_eff, -1),
+                    (((1,), (0,)), ((), ())), precision=prec,
+                    preferred_element_type=jnp.float32)
+                out = out.reshape(n_, oy, ox, -1) + b.reshape(1, 1, 1, -1)
+            else:
+                out = conv(xsd, w) + b.reshape(1, 1, 1, -1)
             if residual is not None:
                 out = out + residual.astype(out.dtype)
             if relu:

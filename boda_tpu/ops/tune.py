@@ -46,6 +46,11 @@ class OpTune:
     # net_tune/wisdom turn it on per-op where the A/B harness validates it.
     # 0 = off (default), 1 = force where legal.
     stem_s2d: int = 0
+    # with stem_s2d: lower the folded stride-1 stem conv as im2col
+    # (m*m shifted slices concat on channel -> ONE MXU dot) instead of
+    # conv_general_dilated — the one formulation the conv1 ledger hasn't
+    # tried (VERDICT r3 #3); identical math, different emitter
+    stem_im2col: int = 0
     # stem_s2d entry channel pad: treat the folded input as having this many
     # channels (>= sb*sb*cin, zero-filled), with the folded weights padded to
     # match. Lets the host loader emit a lane-aligned entry layout so XLA's

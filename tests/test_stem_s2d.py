@@ -127,3 +127,34 @@ def test_stem_s2d_weight_grads_match_jax_grad():
         scale = max(1e-30, float(np.abs(ref).max()))
         cmp = comp_vars(ref, got, mrd_toler=1e-4, atol=1e-4 * scale)
         assert cmp.ok(), f"{w}: {cmp}"
+
+
+@pytest.mark.parametrize("k,s,p,in_sz", [
+    (7, 2, 3, 32),    # resnet/googlenet stem shape (reduced spatial)
+    (11, 4, 0, 35),   # alexnet stem shape
+    (3, 2, 1, 16),    # small-k strided stem
+])
+def test_stem_im2col_matches_oracle(k, s, p, in_sz):
+    """stem_im2col=1: the folded stem as shifted-slice im2col -> one MXU
+    dot (VERDICT r3 #3's untried conv1 formulation) — must equal the XLA
+    oracle exactly like the conv form does."""
+    pipe, in_dims = stem_net(k, s, p, in_sz)
+    r = _run(pipe, in_dims, ["conv1"],
+             tune=parse_lexp("(stem_s2d=1,stem_im2col=1)"))
+    assert "im2col" in r["pallas_log"], r["pallas_log"]
+    a, b = r["xla"]["conv1"].data, r["pallas"]["conv1"].data
+    scale = max(1e-30, float(np.abs(a).max()))
+    cmp = comp_vars(a, b, mrd_toler=1e-5, atol=1e-5 * scale)
+    assert cmp.ok(), f"{cmp}"
+
+
+def test_stem_im2col_with_pad_c():
+    """im2col composes with the lane-aligned entry channel pad."""
+    pipe, in_dims = stem_net(7, 2, 3, 32)
+    r = _run(pipe, in_dims, ["conv1"],
+             tune=parse_lexp("(stem_s2d=1,stem_im2col=1,pad_c=128)"))
+    assert "im2col" in r["pallas_log"]
+    a, b = r["xla"]["conv1"].data, r["pallas"]["conv1"].data
+    scale = max(1e-30, float(np.abs(a).max()))
+    cmp = comp_vars(a, b, mrd_toler=1e-5, atol=1e-5 * scale)
+    assert cmp.ok(), f"{cmp}"
