@@ -183,6 +183,7 @@ def main(argv) -> int:
     tc = _toolchain()
     stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
     lines = [f"# toolchain_watch {stamp} {tc}"]
+    print(lines[0], flush=True)
     n_flip = 0
     for name, fn, ledger in PROBES:
         try:
@@ -190,6 +191,7 @@ def main(argv) -> int:
         except Exception as e:  # a probe crash is INCONCLUSIVE, not a null
             lines.append(f"WATCH {name}: INCONCLUSIVE "
                          f"({type(e).__name__}: {str(e)[:120]})")
+            print(lines[-1], flush=True)
             continue
         if flipped:
             n_flip += 1
@@ -197,9 +199,10 @@ def main(argv) -> int:
                          f"| {detail}")
         else:
             lines.append(f"WATCH {name}: HOLDS | {detail}")
+        print(lines[-1], flush=True)
     lines.append(f"toolchain_watch: {n_flip} flipped / {len(PROBES)} probes")
+    print(lines[-1], flush=True)
     out = "\n".join(lines)
-    print(out)
     if log_fn:
         with open(log_fn, "a") as f:
             f.write(out + "\n\n")
