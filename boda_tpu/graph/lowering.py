@@ -237,8 +237,25 @@ def _lower_lrn(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
         for i in range(1, size):
             ssum = ssum + sqp[:, i:i + c]
         scale = k + (alpha / size) * ssum
-        return ((x32 * jnp.power(scale, -beta)).astype(x.dtype),)
+        return ((x32 * lrn_inv_pow(scale, beta)).astype(x.dtype),)
     return fn
+
+
+def lrn_inv_pow(scale, beta: float):
+    """scale**(-beta) with fast hardware forms for the caffe-standard betas:
+    beta=0.75 -> rsqrt(s)*sqrt(rsqrt(s)) (s^-1/2 * s^-1/4 — two hardware
+    root ops instead of the exp/log pow chain, which the googlenet per-op
+    trace showed costing ~400us/fwd fused into the LRN consumers), and
+    beta=0.5 -> rsqrt. Exact same math; differs from pow only in final-ulp
+    rounding."""
+    import jax.numpy as jnp
+    from jax import lax
+    if beta == 0.75:
+        t = lax.rsqrt(scale)
+        return t * jnp.sqrt(t)
+    if beta == 0.5:
+        return lax.rsqrt(scale)
+    return jnp.power(scale, -beta)
 
 
 @lower_rule("BatchNorm")

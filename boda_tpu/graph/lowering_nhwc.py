@@ -585,7 +585,8 @@ def _nhwc_lrn(pipe, op, ctx, tune, info_log):
         ssum = sqp[..., 0:c]
         for i in range(1, size):
             ssum = ssum + sqp[..., i:i + c]
-        return ((x32 * jnp.power(kk + (alpha / size) * ssum, -beta))
+        from .lowering import lrn_inv_pow
+        return ((x32 * lrn_inv_pow(kk + (alpha / size) * ssum, beta))
                 .astype(x.dtype),)
     return _no_preps(fn)
 
