@@ -345,18 +345,24 @@ def _detection_output_fn(op: ConvOp, n_classes: int):
         dec = (_decode_center_size(locs, pb, pv) if code == "CENTER_SIZE"
                else _decode_corner(locs, pb, pv))
 
+        cls_ids = np.asarray([c for c in range(n_classes) if c != bg])
+
         def per_image(boxes_i, conf_i):
-            rows = []
-            for c in range(n_classes):
-                if c == bg:
-                    continue
-                sc, b, keep = _greedy_nms(conf_i[:, c], boxes_i, k,
-                                          nms_thresh, conf_thresh)
-                sck = jnp.where(keep, sc, -1.0)
-                lab = jnp.full((k,), float(c))
-                rows.append(jnp.concatenate(
-                    [lab[:, None], sck[:, None], b], axis=1))
-            allr = jnp.concatenate(rows, axis=0)     # (C'*k, 6)
+            # class axis VECTORIZED through the greedy-NMS suppression loop
+            # (vmap over per-class score rows): one 400-step sequential loop
+            # over (C', k)-batched operands instead of C' separate loops —
+            # the b32 ssd300 head measured ~38ms/fwd with per-class loops
+            # (8000 sequential steps of lane-starved work)
+            conf_c = conf_i[:, cls_ids].T                       # (C', p)
+            sc, b, keep = jax.vmap(
+                lambda s: _greedy_nms(s, boxes_i, k,
+                                      nms_thresh, conf_thresh))(conf_c)
+            sck = jnp.where(keep, sc, -1.0)                     # (C', k)
+            lab = jnp.broadcast_to(
+                jnp.asarray(cls_ids, jnp.float32)[:, None], sck.shape)
+            allr = jnp.concatenate(
+                [lab[..., None], sck[..., None], b],
+                axis=2).reshape(-1, 6)                          # (C'*k, 6)
             best, bidx = lax.top_k(allr[:, 1], min(keep_top_k, allr.shape[0]))
             sel = allr[bidx]
             valid = sel[:, 1] > 0
