@@ -47,22 +47,37 @@ def _toolchain() -> str:
 
 
 def probe_mosaic_concat() -> tuple[bool, str]:
-    """True = FLIPPED (concat now compiles -> re-open stem tap_cat)."""
+    """True = FLIPPED (SHIFTED-slice concat now compiles -> re-open stem
+    tap_cat).
+
+    The aligned bf16 minor-dim concat already compiled on the round-3
+    toolchain; the stem ledger's actual blocker is the shifted form —
+    lane-concat of column-shifted views (what in-kernel kx taps need,
+    probe_mosaic_concat.py kern2). Probe THAT, not the aligned case, or
+    the watch re-opens the ledger on a condition that was never closed.
+    """
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from jax.experimental import pallas as pl
 
-    def kern(a_ref, b_ref, o_ref):
-        o_ref[:] = jnp.concatenate([a_ref[:], b_ref[:]], axis=-1)
+    owp, wp, c, kw = 16, 24, 128, 3
 
-    a = jnp.ones((8, 128), jnp.bfloat16)
-    b = jnp.ones((8, 128), jnp.bfloat16) * 2
+    def kern(x_ref, o_ref):
+        views = [x_ref[:, kx:kx + owp, :] for kx in range(kw)]
+        o_ref[:] = jnp.concatenate(views, axis=-1)
+
+    x = jnp.asarray(np.arange(8 * wp * c).reshape(8, wp, c) % 251,
+                    jnp.bfloat16)
     try:
         out = pl.pallas_call(
-            kern, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.bfloat16))(a, b)
-        ok = float(out[:, :128].sum()) == 8 * 128 and \
-            float(out[:, 128:].sum()) == 2 * 8 * 128
-        return True, f"compiles, correct={ok}"
+            kern,
+            out_shape=jax.ShapeDtypeStruct((8, owp, kw * c), jnp.bfloat16))(x)
+        want = np.concatenate(
+            [np.asarray(x, np.float32)[:, kx:kx + owp, :] for kx in range(kw)],
+            axis=-1)
+        ok = bool(np.array_equal(np.asarray(out, np.float32), want))
+        return ok, f"shifted-slice concat compiles, correct={ok}"
     except Exception as e:
         return False, f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
 
