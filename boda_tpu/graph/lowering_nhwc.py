@@ -112,7 +112,15 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
         import dataclasses
         tune = dataclasses.replace(tune, use_xla=True)
 
-    if tune.int8 and groups == 1 and dil == (1, 1):
+    # s2d-folded stem: the input arrives host-folded (sb*sb*cin channels at
+    # the folded spatial size), so any branch that consumes the LOGICAL
+    # geometry — including int8 below — must not claim this op. The stem
+    # stays bf16 under engine-wide int8 (it is layout-pathological, not
+    # MXU-bound; int8 would deepen its C-lane waste, docs/mfu_ceiling.md).
+    s2d_stem = tune.stem_s2d == 1 and \
+        stem_s2d_geom(ind, od, s, p, k, dil, groups) is not None
+
+    if tune.int8 and groups == 1 and dil == (1, 1) and not s2d_stem:
         # int8 MXU conv: symmetric dynamic quantization. Activations get a
         # per-tensor scale computed on the fly (one fused max-reduce, no
         # calibration state); weights get per-out-channel scales. int32

@@ -98,3 +98,32 @@ def test_static_calibration_saturates_outliers(tmp_path):
     q, eng = _run_engine("mini_resnet", 4, int8="1", calib_fn=calib_fn)
     assert np.isfinite(q).all()
     assert float(q.max()) <= 1.0 + 1e-6  # still a valid prob head
+
+
+def test_int8_with_s2d_folded_stem():
+    """Engine-wide int8 + input_s2d: the s2d-folded stem must fall through
+    to the stem_s2d rule (bf16), NOT the int8 branch — the int8 lowering
+    consumes logical geometry while the input arrives host-folded
+    (regression: int8+s2d bench crashed with a 12-vs-3 channel mismatch)."""
+    from boda_tpu.utils.digest import comp_vars
+    from test_input_s2d import _fold_nda, stem_net
+
+    pipe, in_dims = stem_net()
+    rng = np.random.RandomState(7)
+    x = rng.randn(*in_dims["data"].shape).astype(np.float32)
+
+    p0, _ = stem_net()
+    e0 = make("conv_fwd", "pallas")
+    e0.init(p0)
+    ref = e0.run_fwd({"data": NDA(in_dims["data"], x)}, ["prob"])["prob"].data
+
+    p1, _ = stem_net()
+    e1 = make("conv_fwd", "pallas", int8="1", input_s2d=True)
+    e1.init(p1)
+    log = str(e1.get_info_log())
+    assert "conv1: nhwc-stem_s2d" in log, log      # stem NOT claimed by int8
+    assert "conv2: nhwc-int8_conv" in log, log     # rest still quantized
+    got = e1.run_fwd({"data": _fold_nda(e1, in_dims, x)},
+                     ["prob"])["prob"].data
+    assert (ref.argmax(1) == got.argmax(1)).all()
+    assert float(np.abs(ref - got).max()) < 0.05
