@@ -17,7 +17,12 @@ Items probed (one versioned verdict line each):
                  over linear at b64, per-shape emitter choice)
   int8_tops      2048^3 int8 vs bf16 matmul (ledger: act_int8 measured
                  0.81-0.96x at four scopes; no int8 TOPS advantage
-                 reachable through this toolchain)
+                 reachable through this toolchain — FLIPPED 2026-08-20,
+                 int8 compute re-opened, see mfu_ceiling.md)
+  pool1_bwd      maxpool 3x3s2@112 fwd+bwd vs HBM roofline (train-step
+                 ledger: SelectAndScatter emitter, train_ceiling.md)
+  k1s2_dgrad     stride-2 1x1 dgrad vs its fwd conv (train-step ledger:
+                 gradient-dilated transpose-conv emitter)
 
 Measurement: prof/abtime.ab_compare — both variants in ONE program
 (cond-branch scan legs), so the b64/b32 comparison shares dispatch path,
@@ -182,11 +187,86 @@ def probe_int8_tops() -> tuple[bool, str]:
                      f"speedup {speedup:.2f}x (ledger: no int8 advantage)")
 
 
+def probe_pool1_bwd() -> tuple[bool, str]:
+    """True = FLIPPED (maxpool 3x3s2@112 fwd+bwd reaches half of HBM
+    roofline -> re-open the train-step pool ledger, train_ceiling.md).
+
+    Ledger (jax 0.9.0, 2026-08-21): in-train pool1 costs 392us fwd +
+    650us bwd per b32 step vs a ~220us combined roofline — the maxpool
+    VJP lowers through SelectAndScatter, which the TPU emitter
+    serializes. Bytes: fwd 64.3 MB; +bwd (re-read x, read g, write gx)
+    = 180.4 MB total."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+    from jax import lax
+
+    def pool(x):
+        return lax.reduce_window(x, jnp.finfo(x.dtype).min, lax.max,
+                                 (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+
+    def raw_a(w, ins):  # fwd + bwd
+        g = jax.grad(lambda x: pool(x).astype(jnp.float32).sum())(ins["x"])
+        return {"o": g}
+
+    def raw_b(w, ins):  # fwd only
+        return {"o": pool(ins["x"])}
+
+    rng = np.random.RandomState(0)
+    ins = {"x": rng.randn(32, 112, 112, 64).astype(ml_dtypes.bfloat16)}
+    sa, sb, r = _ab_ratio(raw_a, raw_b, {}, ins)
+    eff = 180.4e6 / sa / 819e9  # fraction of spec HBM BW
+    flipped = eff > 0.5
+    return flipped, (f"fwd+bwd {sa*1e6:.0f}us ({eff*100:.0f}% of HBM "
+                     f"roofline) vs fwd {sb*1e6:.0f}us ratio {r:.2f} "
+                     f"(ledger: SelectAndScatter-bound)")
+
+
+def probe_k1s2_dgrad() -> tuple[bool, str]:
+    """True = FLIPPED (stride-2 1x1 dgrad within 3x of its fwd conv ->
+    re-open the train-step dgrad ledger, train_ceiling.md).
+
+    Ledger (jax 0.9.0, 2026-08-21): the train trace shows stride-2/1x1
+    branch bwd rows at 4-12x their fwd (res2a_branch1 6.3x,
+    res3a_branch2a 12.5x) — the gradient-dilated transpose-conv emitter.
+    Ideal dgrad has exactly the fwd's FLOPs -> fwd+dgrad = 2x fwd."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+    from jax import lax
+
+    def conv(x, w):
+        return lax.conv_general_dilated(
+            x, w, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def raw_a(w, ins):  # fwd + dgrad (w non-diff: no wgrad in the program)
+        g = jax.grad(
+            lambda x: conv(x, w["f"]).astype(jnp.float32).sum())(ins["x"])
+        return {"o": g}
+
+    def raw_b(w, ins):  # fwd only
+        return {"o": conv(ins["x"], w["f"])}
+
+    rng = np.random.RandomState(0)
+    w = {"f": rng.randn(1, 1, 256, 512).astype(ml_dtypes.bfloat16)}
+    ins = {"x": rng.randn(32, 56, 56, 256).astype(ml_dtypes.bfloat16)}
+    sa, sb, r = _ab_ratio(raw_a, raw_b, w, ins)
+    flipped = r < 3.0
+    return flipped, (f"fwd+dgrad {sa*1e6:.0f}us vs fwd {sb*1e6:.0f}us "
+                     f"ratio {r:.2f} (ideal 2.0; ledger 4-12x bwd/fwd rows)")
+
+
 PROBES = [
     ("mosaic_concat", probe_mosaic_concat, "stem tap_cat kernel"),
     ("b64_pool1", probe_b64_pool1, "b64 batch-scaling (pool emitter)"),
     ("b64_res2c", probe_b64_res2c, "b64 batch-scaling (1x1@56 emitter)"),
     ("int8_tops", probe_int8_tops, "act_int8 quantized serving"),
+    ("pool1_bwd", probe_pool1_bwd, "train-step pool backward (train_ceiling.md)"),
+    ("k1s2_dgrad", probe_k1s2_dgrad, "train-step stride-2 dgrad (train_ceiling.md)"),
 ]
 
 
