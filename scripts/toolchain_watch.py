@@ -203,7 +203,9 @@ def probe_pool1_bwd() -> tuple[bool, str]:
     from jax import lax
 
     def pool(x):
-        return lax.reduce_window(x, jnp.finfo(x.dtype).min, lax.max,
+        # init must be literal -inf: the maxpool VJP rule rejects a
+        # finfo-min init ("Linearization failed ... output primals")
+        return lax.reduce_window(x, -jnp.inf, lax.max,
                                  (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
 
     def raw_a(w, ins):  # fwd + bwd
@@ -238,14 +240,16 @@ def probe_k1s2_dgrad() -> tuple[bool, str]:
     from jax import lax
 
     def conv(x, w):
+        # no preferred_element_type: its transpose rule feeds an f32
+        # cotangent to the bf16 transpose-conv (dtype error). The MXU
+        # accumulates f32 either way; this is a timing probe.
         return lax.conv_general_dilated(
             x, w, (2, 2), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def raw_a(w, ins):  # fwd + dgrad (w non-diff: no wgrad in the program)
-        g = jax.grad(
-            lambda x: conv(x, w["f"]).astype(jnp.float32).sum())(ins["x"])
+        g = jax.grad(lambda x: conv(x, w["f"]).sum().astype(jnp.float32),
+                     )(ins["x"])
         return {"o": g}
 
     def raw_b(w, ins):  # fwd only
