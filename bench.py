@@ -125,6 +125,10 @@ def main() -> int:
     # static-scale path (kills the per-forward amax reduces)
     int8 = os.environ.get("BENCH_INT8", "") == "1"
     calib = os.environ.get("BENCH_CALIB", "")
+    # BENCH_ACTQ='pat,pat,...': act_int8 storage patterns (with
+    # BENCH_INT8=1 + BENCH_CALIB, stored nodes feed int8 convs DIRECTLY —
+    # the combined int8 activation-flow serving config)
+    actq = [s for s in os.environ.get("BENCH_ACTQ", "").split(",") if s]
     # backend compiler flags, comma-separated k=v (shipped per-program via
     # jit compiler_options — XLA_FLAGS can't carry TPU backend flags on
     # remote-compile platforms)
@@ -168,6 +172,8 @@ def main() -> int:
             kw["int8"] = True
         if calib:
             kw["calib_fn"] = calib
+        if actq:
+            kw["act_int8"] = actq
         if copts:
             kw["compiler_options"] = copts
     # BENCH_POT='(op=(knob=v,...),...)': per-op tune overrides (e.g.
@@ -278,6 +284,7 @@ def main() -> int:
                       engine == "pallas" else {}),
                    **({"int8": True} if int8 else {}),
                    **({"calib": calib} if calib else {}),
+                   **({"act_int8": actq} if actq else {}),
                    **({"batch_split": bsplit} if bsplit else {}),
                    **({"compiler_options": copts} if copts else {}),
                    "secs_per_fwd": round(secs, 6),

@@ -1014,11 +1014,20 @@ class PallasFwd(FwdEngine):
                 f"{missing} (re-run net_calib on this net)")
         for n in sorted(matched):
             a = max(float(amax[n]), 1e-12)
-            uns = n in nonneg
+            # engine-wide int8 compute: store SIGNED (scale amax/127) even
+            # for provably non-negative tensors, so int8-conv consumers can
+            # feed the stored value STRAIGHT into the int8 dot (same
+            # symmetric scale the conv's quantizer would have produced) —
+            # the per-conv round/clip quantize disappears entirely. Costs
+            # one bit of range on ReLU outputs; the accuracy gates
+            # (tests/test_int8.py, test_act_int8.py) bound the effect.
+            uns = n in nonneg and not self.int8
             self._act_q[n] = (uns, a / (255.0 if uns else 127.0))
             self._info_log.append(
                 f"act_int8 {n}: {'uint8' if uns else 'int8'} "
-                f"scale={self._act_q[n][1]:.4g}")
+                f"scale={self._act_q[n][1]:.4g}"
+                + (" (signed for direct int8-conv feed)"
+                   if n in nonneg and not uns else ""))
 
     def _detect_blocks(self, pipe: ConvPipe) -> None:
         """Find residual bottlenecks: convA(1x1 s1)+BN/Sc+ReLU ->
@@ -1234,7 +1243,12 @@ class PallasFwd(FwdEngine):
             out = fused_conv_fn(x, w, b)[0] + res
             if has_relu:
                 out = jnp.maximum(out, 0.0)
-            return (out.astype(x.dtype),)
+            odt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) \
+                else out.dtype
+            return (out.astype(odt),)
+        # int8-stored-input capability rides through the chain wrapper (the
+        # head conv consumes x; epilogue ops never see it)
+        fn.q8_input_ok = getattr(fused_conv_fn, "q8_input_ok", False)
         return fn
 
     def _lower(self, pipe: ConvPipe, op, ctx: LowerCtx, fused: bool) -> Callable:
@@ -1644,6 +1658,7 @@ class PallasFwd(FwdEngine):
             # trace-time introspection (tests assert activation)
             self._bs_applied = sorted(
                 {(r["a"], r["b"]) for r in unit_region.values()})
+            self._q8_direct = set()
 
             def _exec_one(op_name, look):
                 op = pipe.ops[op_name]
@@ -1653,7 +1668,20 @@ class PallasFwd(FwdEngine):
                 if pf is not None:  # head conv reads its upload-folded w/b
                     bots = [op.bots[0], pf[0], pf[1]] + list(op.bots[3:])
                 try:
-                    bot_vals = [_qload(b, look(b)) for b in bots]
+                    # int8-direct feed: a conv whose lowering accepts the
+                    # signed act_int8 storage dtype reads the stored value
+                    # raw — the dequant (and the conv's own re-quantize)
+                    # both vanish from the program
+                    q8ok = getattr(lowered[op_name], "q8_input_ok", False)
+                    bot_vals = []
+                    for bi, bname in enumerate(bots):
+                        v = look(bname)
+                        if (bi == 0 and q8ok and hasattr(v, "dtype")
+                                and v.dtype == jnp.int8):
+                            self._q8_direct.add(op_name)
+                        else:
+                            v = _qload(bname, v)
+                        bot_vals.append(v)
                     if op_name in fused_now:
                         bot_vals += [_qload(b, look(b))
                                      for b in chain_args[op_name]]

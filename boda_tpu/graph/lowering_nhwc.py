@@ -137,11 +137,21 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
             ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)),
                              1e-12) / 127.0
             wq = jnp.round(wf / ws).astype(jnp.int8)
-            xf = x.astype(jnp.float32)
-            if amax is not None:  # truthiness would skip a valid amax==0.0
+            if x.dtype == jnp.int8:
+                # act_int8-stored input (signed storage under engine int8,
+                # scale amax/127 — the SAME symmetric scale this quantizer
+                # would produce): feed the stored value straight into the
+                # int8 dot. The per-conv round/clip quantize never runs.
+                assert amax is not None, \
+                    "int8-stored input needs the static calib amax"
+                xs = jnp.float32(max(amax, 1e-12) / 127.0)
+                xq = x
+            elif amax is not None:  # truthiness would skip valid amax==0.0
+                xf = x.astype(jnp.float32)
                 xs = jnp.float32(max(amax, 1e-12) / 127.0)
                 xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
             else:
+                xf = x.astype(jnp.float32)
                 xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
                 xq = jnp.round(xf / xs).astype(jnp.int8)
             if k == (1, 1) and p == (0, 0):
@@ -165,8 +175,12 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
                 out = out + residual.astype(jnp.float32)
             if relu:
                 out = jnp.maximum(out, 0.0)
-            return (out.astype(x.dtype),)
+            # int8-stored inputs are not a float target dtype: emit the
+            # weights' compute dtype instead (the engine's compute_tn)
+            odt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else w.dtype
+            return (out.astype(odt),)
         fn.supports_residual = True
+        fn.q8_input_ok = amax is not None
         return fn, preps
     if groups == 1 and not tune.use_xla and k == (1, 1) and p == (0, 0) \
             and tune.use_k1conv:

@@ -120,3 +120,21 @@ def test_act_int8_changes_fingerprint(calib_fn):
     a.init(pipe)
     b.init(pipe)
     assert a.fusion_fingerprint() != b.fusion_fingerprint()
+
+
+def test_act_int8_direct_feed_into_int8_conv(calib_fn):
+    """Engine-wide int8 + act_int8: stored nodes switch to SIGNED int8 and
+    conv consumers read the stored value straight into the int8 dot
+    (q8_input_ok) -- no per-conv re-quantize, no dequant on that edge.
+    Accuracy stays within the quantization gates."""
+    ref, _ = _run("mini_resnet", 4)
+    q, eng = _run("mini_resnet", 4, act_int8=TRUNK, calib_fn=calib_fn,
+                  int8="1")
+    sel = [l for l in eng._info_log if l.startswith("act_int8 ")]
+    # non-negative trunk nodes store SIGNED under engine int8
+    assert sel and all("signed for direct int8-conv feed" in l for l in sel), sel
+    # the direct feed engaged on conv consumers of stored nodes
+    assert eng._q8_direct, "no conv consumed the int8 storage directly"
+    rp, qp = ref["prob"].data, q["prob"].data
+    assert (rp.argmax(1) == qp.argmax(1)).all()
+    assert float(np.abs(rp - qp).max()) < 0.06
