@@ -42,6 +42,12 @@ class LowerCtx:
     # static int8 calibration: node name -> activation amax (prof/calib.py).
     # None = dynamic quantization (runtime per-tensor amax reduce per fwd).
     act_amax: object = None
+    # act_int8 SIGNED storage scales (node -> float), plumbed from the
+    # engine's resolved _act_q so int8-stored inputs dequantize with the
+    # ACTUAL storage scale, not a re-derivation of it (ADVICE r4: a future
+    # percentile/asymmetric storage quantizer must not silently skew the
+    # direct int8-conv feed)
+    act_store_scale: object = None
 
     @property
     def prec(self):
@@ -105,11 +111,19 @@ def conv_f32acc(dn, s, p, groups, dil, prec):
 @lower_rule("Convolution")
 def _lower_conv(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
     s, p = op.stride(), op.pad()
+    k = op.kern_sz()
     dil = op.dilation()
     groups = int(op.p("groups", 1))
     relu = bool(op.p("fused_relu", False))
-    conv = conv_f32acc(("NCHW", "OIHW", "NCHW"), s,
-                       ((p[0], p[0]), (p[1], p[1])), groups, dil, ctx.prec)
+    from . import train_ops
+    if (k == (1, 1) and p == (0, 0) and groups == 1 and dil == (1, 1)
+            and train_ops.enabled()):
+        # explicit 1x1 backward (same forward program; the VJP avoids the
+        # gradient-dilated transpose-conv emitter — train_ceiling.md)
+        conv = train_ops.conv1x1_explicit(s, ctx.prec)
+    else:
+        conv = conv_f32acc(("NCHW", "OIHW", "NCHW"), s,
+                           ((p[0], p[0]), (p[1], p[1])), groups, dil, ctx.prec)
 
     def fn(x, w, b):
         out = conv(x, w)
@@ -202,6 +216,19 @@ def _lower_pool(pipe: ConvPipe, op: ConvOp, ctx: LowerCtx) -> Callable:
                 window_strides=(1, 1, s[0], s[1]),
                 padding=((0, 0), (0, 0), pad_y, pad_x))
             return ((sums / div).astype(x.dtype),)
+        return fn
+
+    from . import train_ops
+    if ctx.train and train_ops.enabled():
+        # training: argmax forward + Spreading backward (custom_vjp) —
+        # the maxpool VJP otherwise lowers through SelectAndScatter,
+        # which the TPU emitter serializes (train_ceiling.md; ref
+        # pool.cucl / rtc_fwd.cc:296 ship this design as CUDA kernels)
+        pool = train_ops.make_maxpool_vjp(
+            tuple(k), tuple(s), pad_y, pad_x, iy, ix, oy, ox)
+
+        def fn(x):
+            return (pool(x).astype(x.dtype),)
         return fn
 
     def fn(x):

@@ -81,14 +81,21 @@ def build_net_fn(pipe: ConvPipe, out_names: list[str],
     topo = pipe.topo_op_order()
     lowered = {name: lower_op(pipe, pipe.ops[name], ctx) for name in topo}
 
+    from ..graph import train_ops
+
     def _bn_train(op, vals, new_stats):
         x = vals[op.bots[0]]
         eps = float(op.p("eps", 1e-5))
-        xf = x.astype(jnp.float32)
-        m_b = xf.mean(axis=(0, 2, 3))
-        v_b = xf.var(axis=(0, 2, 3))
-        out = ((xf - m_b.reshape(1, -1, 1, 1))
-               * jax.lax.rsqrt(v_b.reshape(1, -1, 1, 1) + eps))
+        if train_ops.enabled():
+            # fused hand-derived backward (2-phase, ~2.5 HBM passes vs
+            # autodiff's ~6 — train_ceiling.md); fwd math is identical
+            out, m_b, v_b = train_ops.make_bn_train(eps)(x)
+        else:
+            xf = x.astype(jnp.float32)
+            m_b = xf.mean(axis=(0, 2, 3))
+            v_b = xf.var(axis=(0, 2, 3))
+            out = ((xf - m_b.reshape(1, -1, 1, 1))
+                   * jax.lax.rsqrt(v_b.reshape(1, -1, 1, 1) + eps))
         # running stats are stored caffe-style (sums + scale factor sf);
         # emit the UNSCALED running values with sf pinned to 1
         mean_w, var_w = op.bots[1], op.bots[2]

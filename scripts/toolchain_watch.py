@@ -264,6 +264,83 @@ def probe_k1s2_dgrad() -> tuple[bool, str]:
                      f"ratio {r:.2f} (ideal 2.0; ledger 4-12x bwd/fwd rows)")
 
 
+def probe_pool_vjp() -> tuple[bool, str]:
+    """True = FLIPPED (the explicit argmax+Spreading VJP,
+    graph/train_ops.py, becomes FASTER than the stock SelectAndScatter
+    path -> re-enable BODA_TRAIN_VJP). Ledger (v5e 2026-08-21): custom
+    20,285us vs stock 1,197us fwd+bwd at the train pool1 shape — the
+    NCHW lane-dim strided slices/interior pads are pathological, so the
+    explicit kernel ships default-OFF."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+    from jax import lax
+
+    from boda_tpu.graph import train_ops
+
+    pool_c = train_ops.make_maxpool_vjp((3, 3), (2, 2), (0, 1), (0, 1),
+                                        112, 112, 56, 56)
+
+    def pool_s(x):
+        return lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 3, 3),
+                                 (1, 1, 2, 2),
+                                 ((0, 0), (0, 0), (0, 1), (0, 1)))
+
+    def mk(fn):
+        def raw(w, ins):
+            g = jax.grad(
+                lambda x: fn(x).astype(jnp.float32).sum())(ins["x"])
+            return {"o": g}
+        return raw
+
+    rng = np.random.RandomState(0)
+    ins = {"x": rng.randn(32, 64, 112, 112).astype(ml_dtypes.bfloat16)}
+    sc, ss, r = _ab_ratio(mk(pool_s), mk(pool_c), {}, ins)
+    flipped = (sc / ss) > 1.2
+    return flipped, (f"stock fwd+bwd {sc*1e6:.0f}us vs explicit-VJP "
+                     f"{ss*1e6:.0f}us ratio {sc/ss:.2f} "
+                     f"(ledger: custom OFF; re-enable when > 1.2)")
+
+
+def probe_k1_vjp() -> tuple[bool, str]:
+    """True = FLIPPED (the explicit 1x1 dgrad/wgrad VJP becomes FASTER
+    than the transpose-conv emitter at the res3a_branch2a shape ->
+    re-enable BODA_TRAIN_VJP). Ledger (v5e 2026-08-21): custom 163us vs
+    stock 139us — the r4 emitter pathology is FIXED in jax 0.9.0 (the
+    k1s2_dgrad probe reads fwd+dgrad at 0.70x fwd), so the explicit
+    kernel ships default-OFF."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+    from jax import lax
+
+    from boda_tpu.graph import train_ops
+    from boda_tpu.graph.lowering import conv_f32acc
+
+    conv_c = train_ops.conv1x1_explicit((2, 2), lax.Precision.DEFAULT)
+    conv_s = conv_f32acc(("NCHW", "OIHW", "NCHW"), (2, 2), ((0, 0), (0, 0)),
+                         1, (1, 1), lax.Precision.DEFAULT)
+
+    def mk(fn):
+        def raw(w, ins):
+            gx, gw = jax.grad(
+                lambda x, f: fn(x, f).sum(), argnums=(0, 1))(
+                ins["x"], w["f"])
+            return {"gx": gx, "gw": gw}
+        return raw
+
+    rng = np.random.RandomState(0)
+    w = {"f": rng.randn(128, 256, 1, 1).astype(ml_dtypes.bfloat16)}
+    ins = {"x": rng.randn(32, 256, 56, 56).astype(ml_dtypes.bfloat16)}
+    ss, sc, _ = _ab_ratio(mk(conv_s), mk(conv_c), w, ins)
+    flipped = (ss / sc) > 1.2
+    return flipped, (f"stock fwd+bwd {ss*1e6:.0f}us vs explicit-VJP "
+                     f"{sc*1e6:.0f}us ratio {ss/sc:.2f} "
+                     f"(ledger: custom OFF; re-enable when > 1.2)")
+
+
 PROBES = [
     ("mosaic_concat", probe_mosaic_concat, "stem tap_cat kernel"),
     ("b64_pool1", probe_b64_pool1, "b64 batch-scaling (pool emitter)"),
@@ -271,6 +348,8 @@ PROBES = [
     ("int8_tops", probe_int8_tops, "act_int8 quantized serving"),
     ("pool1_bwd", probe_pool1_bwd, "train-step pool backward (train_ceiling.md)"),
     ("k1s2_dgrad", probe_k1s2_dgrad, "train-step stride-2 dgrad (train_ceiling.md)"),
+    ("pool_vjp", probe_pool_vjp, "explicit pool VJP vs stock (train_ops.py)"),
+    ("k1_vjp", probe_k1_vjp, "explicit 1x1 VJP vs stock (train_ops.py)"),
 ]
 
 
