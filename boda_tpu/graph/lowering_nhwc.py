@@ -138,13 +138,18 @@ def _nhwc_conv(pipe, op, ctx, tune, info_log):
                              1e-12) / 127.0
             wq = jnp.round(wf / ws).astype(jnp.int8)
             if x.dtype == jnp.int8:
-                # act_int8-stored input (signed storage under engine int8,
-                # scale amax/127 — the SAME symmetric scale this quantizer
-                # would produce): feed the stored value straight into the
-                # int8 dot. The per-conv round/clip quantize never runs.
-                assert amax is not None, \
-                    "int8-stored input needs the static calib amax"
-                xs = jnp.float32(max(amax, 1e-12) / 127.0)
+                # act_int8-stored input (signed storage under engine int8):
+                # feed the stored value straight into the int8 dot,
+                # dequantizing with the engine's ACTUAL storage scale
+                # (plumbed via ctx.act_store_scale — ADVICE r4: re-deriving
+                # amax/127 here would silently skew if the storage
+                # quantizer ever changes). The per-conv quantize never runs.
+                stored = (getattr(ctx, "act_store_scale", None) or {}) \
+                    .get(op.bots[0])
+                assert stored is not None, \
+                    "int8-stored input needs the engine storage scale " \
+                    "(act_store_scale) for exact dequantization"
+                xs = jnp.float32(stored)
                 xq = x
             elif amax is not None:  # truthiness would skip valid amax==0.0
                 xf = x.astype(jnp.float32)
@@ -535,6 +540,31 @@ def _nhwc_pool(pipe, op, ctx, tune, info_log):
     oy, ox = od["y"], od["x"]
     pad_y = (p[0], max(0, (oy - 1) * s[0] + k[0] - iy - p[0]))
     pad_x = (p[1], max(0, (ox - 1) * s[1] + k[1] - ix - p[1]))
+    if tune.pool_pallas:
+        from ..ops.cnn_variants import ctx_interp
+        from ..ops.kernels.pool import pallas_pool, pool_plan
+
+        def pallas_fn(x):
+            out = pallas_pool(x, k, s, pad_y, pad_x, oy, ox, avg,
+                              interpret=ctx_interp())
+            if out is None:  # plane over VMEM budget: reduce_window path
+                out = lax.reduce_window(
+                    x.astype(jnp.float32), 0.0 if avg else -jnp.inf,
+                    lax.add if avg else lax.max,
+                    window_dimensions=(1, k[0], k[1], 1),
+                    window_strides=(1, s[0], s[1], 1),
+                    padding=((0, 0), pad_y, pad_x, (0, 0)))
+                if avg:
+                    out = out / jnp.asarray(
+                        _avg_divisor(iy, ix, k, s, p, oy, ox)
+                        .reshape(1, oy, ox, 1))
+                out = out.astype(x.dtype)
+            return (out,)
+        info_log.append(f"{op.name}: nhwc-pool_pallas k={k} s={s} avg={avg}"
+                        + ("" if pool_plan((ind['img'], iy, ix, ind['chan']),
+                                           'float32', oy, ox)
+                           else " (plane>VMEM: reduce_window fallback)"))
+        return _no_preps(pallas_fn)
     if tune.pool_shift:
         return _no_preps(_pool_shift_fn(k, s, pad_y, pad_x, oy, ox, avg,
                                         iy, ix, p))

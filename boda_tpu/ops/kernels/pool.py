@@ -1,0 +1,134 @@
+"""Direct Pallas pooling kernel (NHWC).
+
+Parity target: the reference's dedicated pooling kernel (ref
+test/rtc/pool.cucl — max/avg with caffe window clipping) vs leaving
+pooling to the XLA reduce_window emitter. The emitter is the pathology
+this kernel exists to dodge: googlenet pool2 runs at ~7x its HBM floor
+and r50 pool1 scales 4x-over-linear at b64 (docs/model_census.md,
+mfu_ceiling.md) — and the two source-level escapes (pool_shift,
+pool_bview) measured null, so VERDICT r4 #5 asks for the direct kernel.
+
+Design: one grid cell per image; the full (iy, ix, C) plane loads to
+VMEM, window accumulation happens register-side as k*k shifted strided
+slices of the (-inf / 0)-padded block (a max/add tree — pure VPU work at
+memory bandwidth), and the (oy, ox, C) plane stores back. Traffic is the
+HBM floor: read x once, write out once. Planes larger than the VMEM
+budget decline (caller falls back to reduce_window).
+
+The jittable wrapper carries a custom VJP whose backward is the XLA
+reduce_window adjoint (Mosaic kernels have no auto-VJP; pooling backward
+in TRAINING uses graph/train_ops.make_maxpool_vjp instead — this kernel
+is a serving-path form).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # bytes of in+out plane per grid cell
+
+
+def _pool_kernel(x_ref, div_ref, o_ref, *, k, s, pad_y, pad_x, oy, ox, avg):
+    xb = x_ref[0]  # (iy, ix, C)
+    if avg:
+        xb = xb.astype(jnp.float32)
+        init = jnp.float32(0.0)
+    else:
+        init = jnp.asarray(-jnp.inf, xb.dtype)
+    xp = jnp.pad(xb, (pad_y, pad_x, (0, 0)), constant_values=init)
+    acc = None
+    for ky in range(k[0]):
+        for kx in range(k[1]):
+            v = lax.slice(xp, (ky, kx, 0),
+                          (ky + (oy - 1) * s[0] + 1,
+                           kx + (ox - 1) * s[1] + 1, xp.shape[2]),
+                          (s[0], s[1], 1))
+            acc = v if acc is None else \
+                (acc + v if avg else jnp.maximum(acc, v))
+    if avg:
+        acc = acc * div_ref[...][:, :, None]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def pool_plan(in_shape, dtype, oy, ox):
+    """None if the per-image plane exceeds the VMEM budget."""
+    _, iy, ix, c = in_shape
+    # avg accumulates f32 register-side regardless of the storage dtype
+    bytes_per = max(jnp.dtype(dtype).itemsize, 4)
+    need = (iy * ix + oy * ox) * c * bytes_per
+    return None if need > _VMEM_BUDGET else {"full_plane": True}
+
+
+@functools.lru_cache(maxsize=None)
+def _build(in_shape, dtype_name, k, s, pad_y, pad_x, oy, ox, avg,
+           interpret):
+    n, iy, ix, c = in_shape
+    dt = jnp.dtype(dtype_name)
+    import numpy as np
+    if avg:
+        from ...graph.lowering_nhwc import _avg_divisor
+        # inverse divisor: a multiply in the accumulate epilogue, not a div
+        div = (1.0 / _avg_divisor(iy, ix, k, s,
+                                  (pad_y[0], pad_x[0]), oy, ox)) \
+            .astype(np.float32)
+    else:
+        div = np.ones((oy, ox), np.float32)
+    div = jnp.asarray(div)
+
+    kern = functools.partial(_pool_kernel, k=k, s=s, pad_y=pad_y,
+                             pad_x=pad_x, oy=oy, ox=ox, avg=avg)
+    call = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, iy, ix, c), lambda i: (i, 0, 0, 0)),
+                  pl.BlockSpec((oy, ox), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((1, oy, ox, c), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, oy, ox, c), dt),
+        interpret=bool(interpret),
+    )
+
+    def xla_ref(x):  # the backward (and the numerics oracle): reduce_window
+        if avg:
+            out = lax.reduce_window(
+                x.astype(jnp.float32), 0.0, lax.add,
+                window_dimensions=(1, k[0], k[1], 1),
+                window_strides=(1, s[0], s[1], 1),
+                padding=((0, 0), pad_y, pad_x, (0, 0)))
+            return (out * div[None, :, :, None]).astype(x.dtype)
+        return lax.reduce_window(
+            x.astype(jnp.float32), -jnp.inf, lax.max,
+            window_dimensions=(1, k[0], k[1], 1),
+            window_strides=(1, s[0], s[1], 1),
+            padding=((0, 0), pad_y, pad_x, (0, 0))).astype(x.dtype)
+
+    @jax.custom_vjp
+    def f(x):
+        return call(x, div)
+
+    def fwd(x):
+        return call(x, div), (x,)
+
+    def bwd(res, ct):
+        (x,) = res
+        _, vjp = jax.vjp(xla_ref, x)
+        return vjp(ct)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def pallas_pool(x, k, s, pad_y, pad_x, oy, ox, avg,
+                interpret: bool = False):
+    """NHWC pooling via the direct Pallas kernel; returns None (caller
+    falls back) when the plan declines the shape."""
+    if pool_plan(x.shape, x.dtype, oy, ox) is None:
+        return None
+    f = _build(tuple(x.shape), str(x.dtype), tuple(k), tuple(s),
+               tuple(pad_y), tuple(pad_x), oy, ox, bool(avg),
+               bool(interpret))
+    return f(x)

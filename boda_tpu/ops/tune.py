@@ -97,6 +97,14 @@ class OpTune:
     # both scale linearly, mfu_ceiling.md) — this dodges the shape without
     # changing semantics. 0 = off; k>0 must divide the batch.
     pool_bview: int = 0
+    # pooling via the direct Pallas kernel (ops/kernels/pool.py): one grid
+    # cell per image, full plane in VMEM, k*k register-side shifted-slice
+    # accumulation — HBM-floor traffic regardless of the reduce_window
+    # emitter's per-shape choices (the googlenet pool2 7x-floor and b64
+    # pool1 pathologies; VERDICT r4 #5 — both source-level escapes above
+    # measured null, this is the kernel-level answer). Declines planes
+    # that exceed the VMEM budget (falls back to reduce_window).
+    pool_pallas: int = 0
     # precision / layout
     acc_tn: str = "float32"   # accumulation dtype (always f32 on MXU)
     in_tn: str = ""           # compute dtype override ('' = keep input dtype)
