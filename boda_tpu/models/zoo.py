@@ -448,6 +448,25 @@ def build_firenet(img: int = 1, num_cls: int = 1000, in_sz: int = 227,
     return b.done(in_dims), in_dims
 
 
+def build_bconv_strides(img: int = 2, num_cls: int = 8, in_sz: int = 24):
+    """Strided-conv backward regression net — the bconv_strides analog of
+    the reference's gradient configs (ref src/test_compute.cc:219-232,
+    test/rtc/bconv.cucl test strided BckConv variants): every conv is
+    strided (3x3 s2, 1x1 s2, 5x5 s3) so add_bck_ops exercises the strided
+    dgrad/wgrad paths, including the explicit 1x1-stride VJP
+    (graph/train_ops.py) against the xla oracle's autodiff adjoints."""
+    b = NetBuilder("bconv_strides")
+    t = b.input("data")
+    t = b.conv("conv1", t, 8, 3, stride=2, pad=1, in_chans=3, relu=True)
+    t = b.conv("conv2", t, 12, 1, stride=2, in_chans=8, relu=True)
+    t = b.conv("conv3", t, 16, 5, stride=3, pad=2, in_chans=12, relu=True)
+    t = b.pool("pool3", t, kern=2, stride=2)
+    t = b.fc("fc1", t, num_cls, in_feats=16)
+    b.softmax("prob", t)
+    in_dims = {"data": Dims.of(img=img, chan=3, y=in_sz, x=in_sz)}
+    return b.done(in_dims), in_dims
+
+
 def build_ssd300(img: int = 1, num_cls: int = 21, in_sz: int = 300):
     """SSD300 (VGG16 trunk + multi-scale heads + on-device NMS) — the
     full-scale detection net of the reference's SSD/RRC lineage (ref
@@ -520,6 +539,7 @@ def build_ssd300(img: int = 1, num_cls: int = 21, in_sz: int = 300):
 
 MODELS = {
     "mini_resnet": build_mini_resnet,
+    "bconv_strides": build_bconv_strides,
     "firenet": build_firenet,
     "alexnet_ng_conv": build_alexnet_ng_conv,
     "nin_imagenet": build_nin_imagenet,
