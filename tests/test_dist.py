@@ -19,6 +19,22 @@ def test_dist_two_controllers(capsys):
     assert "all ranks agree OK" in out
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_dist_resnet50_class(capsys):
+    """Flagship-class graph across two controllers (VERDICT r4 #6): the
+    full resnet50 momentum+train-BN+remat=seg step dp-sharded over a
+    2-process CPU cluster, loss-identical on every rank."""
+    rc = main(["dist_test_master", "--num-procs=2", "--devices-per-proc=2",
+               "--steps=2", "--model=resnet50", "--in-sz=32",
+               "--num-cls=16"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "all ranks agree OK" in out
+
+
 def test_mesh_error_typed():
     """Invalid mesh requests raise MeshError (a ValueError subclass) with
     exact messages (VERDICT r3 #7)."""
