@@ -105,7 +105,6 @@ def test_int8_with_s2d_folded_stem():
     to the stem_s2d rule (bf16), NOT the int8 branch — the int8 lowering
     consumes logical geometry while the input arrives host-folded
     (regression: int8+s2d bench crashed with a 12-vs-3 channel mismatch)."""
-    from boda_tpu.utils.digest import comp_vars
     from test_input_s2d import _fold_nda, stem_net
 
     pipe, in_dims = stem_net()
