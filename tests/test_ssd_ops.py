@@ -316,3 +316,34 @@ def test_rrc_deploy_parses_and_runs():
     res = eng.run_fwd({"data": NDA(in_dims["data"], x)}, outs[:1])
     d = res[outs[0]].data
     assert d.shape[3] == 7 and np.isfinite(d).all()
+
+
+def test_greedy_nms_fixpoint_matches_loop():
+    """The parallel fixpoint suppression (default) must reproduce the
+    sequential greedy loop EXACTLY — including suppression chains where
+    removing a suppressor resurrects a later box (a-b-c-d chains)."""
+    import jax.numpy as jnp
+
+    from boda_tpu.graph.ssd_ops import _greedy_nms
+    rng = np.random.RandomState(0)
+    for trial in range(8):
+        p = 200
+        scores = jnp.asarray(rng.rand(p).astype(np.float32))
+        # clustered boxes: heavy overlap -> long suppression chains
+        ctr = rng.rand(p, 2) * 0.5
+        if trial % 2 == 0:  # chain regime: sliding boxes along a line
+            ctr = np.stack([np.linspace(0, 1, p),
+                            np.full(p, 0.5)], axis=1) \
+                + rng.randn(p, 2) * 0.01
+        wh = 0.1 + rng.rand(p, 2) * 0.1
+        boxes = jnp.asarray(np.concatenate(
+            [ctr - wh / 2, ctr + wh / 2], axis=1).astype(np.float32))
+        for k in (32, 128):
+            sc_a, b_a, keep_a = _greedy_nms(scores, boxes, k, 0.45, 0.1,
+                                            method="fixpoint")
+            sc_b, b_b, keep_b = _greedy_nms(scores, boxes, k, 0.45, 0.1,
+                                            method="loop")
+            np.testing.assert_array_equal(np.asarray(keep_a),
+                                          np.asarray(keep_b))
+            np.testing.assert_array_equal(np.asarray(sc_a),
+                                          np.asarray(sc_b))
