@@ -306,20 +306,22 @@ def _pairwise_iou(b):
 
 
 def _greedy_nms(scores, boxes, k, nms_thresh, conf_thresh,
-                method: str = "fixpoint"):
+                method: str = "loop"):
     """Fixed-shape greedy NMS: top-k by score, then suppression.
     Returns (scores_k, boxes_k, keep_mask_k).
 
-    method="fixpoint" (default) computes the EXACT greedy result by
-    iterating the suppression recurrence in parallel:
-        K[i] = ok[i] & not any_{j<i} (K[j] & iou[j,i] > t)
-    has a unique solution (forward substitution = the greedy loop), and
-    repeated full application of the operator converges to it in at most
-    suppression-chain-depth iterations (typically < 10). Each iteration
-    is ONE batched (k,k) mat-vec instead of the loop's k tiny sequential
-    steps — the ssd300 head's 400-step fori_loop was latency-bound at
-    62% of device time (docs/model_census.md; VERDICT r4 #8).
-    method="loop" keeps the sequential form (the numerics oracle)."""
+    method="loop" (default) is the k-step sequential suppression.
+    method="fixpoint" computes the EXACT same greedy result by iterating
+    the suppression recurrence in parallel (K[i] = ok[i] & not any_{j<i}
+    (K[j] & iou[j,i] > t) has a unique solution; full reapplication
+    converges within suppression-chain depth). MEASURED NULL on v5e
+    whole-net ssd300 b32 (2026-08-21): 674 vs 1,009 img/s — under the
+    batch*class vmap the while_loop re-reads the (C',k,k) IoU tensor
+    every iteration and runs until the LAST lane converges (gen-data's
+    clustered boxes make deep suppression chains), losing to the fori
+    loop's k cheap steps. Kept selectable: on real (sparse-overlap)
+    detections the chain depth is shallow, and the exactness gate in
+    tests covers both forms."""
     sc, idx = lax.top_k(scores, k)
     b = boxes[idx]
     iou = _pairwise_iou(b)

@@ -33,6 +33,23 @@ from jax.experimental import pallas as pl
 _VMEM_BUDGET = 10 * 1024 * 1024  # bytes of in+out plane per grid cell
 
 
+def _subsample(v, sy, sx, oy, ox):
+    """Mosaic-legal strided subsample: v[::sy, ::sx] for a (Y, X, C)
+    register value. Mosaic confines vector strided slices to stride 1
+    (probed on v5e: "expected strides to be confined to [1, 2)"), so the
+    stride is expressed as a phase-split reshape (oy, sy, ox, sx, C)
+    followed by unit slices of the phase dims."""
+    if sy == 1 and sx == 1:
+        return v[:oy, :ox]
+    y, x, c = v.shape
+    need_y, need_x = oy * sy, ox * sx
+    if y < need_y or x < need_x:
+        v = jnp.pad(v, ((0, need_y - y), (0, need_x - x), (0, 0)))
+    v = v[:need_y, :need_x]
+    v = v.reshape(oy, sy, ox, sx, c)
+    return v[:, 0, :, 0, :]
+
+
 def _pool_kernel(x_ref, div_ref, o_ref, *, k, s, pad_y, pad_x, oy, ox, avg):
     xb = x_ref[0]  # (iy, ix, C)
     if avg:
@@ -41,15 +58,20 @@ def _pool_kernel(x_ref, div_ref, o_ref, *, k, s, pad_y, pad_x, oy, ox, avg):
     else:
         init = jnp.asarray(-jnp.inf, xb.dtype)
     xp = jnp.pad(xb, (pad_y, pad_x, (0, 0)), constant_values=init)
+    # two-stage separable accumulate with UNIT-stride shifted slices only
+    # (Mosaic-legal), then one phase-split subsample: m[y][x] =
+    # acc over the k-window anchored at (y, x); out = m[::sy, ::sx]
+    span_y = (oy - 1) * s[0] + k[0]
+    span_x = (ox - 1) * s[1] + k[1]
     acc = None
     for ky in range(k[0]):
         for kx in range(k[1]):
             v = lax.slice(xp, (ky, kx, 0),
-                          (ky + (oy - 1) * s[0] + 1,
-                           kx + (ox - 1) * s[1] + 1, xp.shape[2]),
-                          (s[0], s[1], 1))
+                          (ky + span_y - k[0] + 1,
+                           kx + span_x - k[1] + 1, xp.shape[2]))
             acc = v if acc is None else \
                 (acc + v if avg else jnp.maximum(acc, v))
+    acc = _subsample(acc, s[0], s[1], oy, ox)
     if avg:
         acc = acc * div_ref[...][:, :, None]
     o_ref[0] = acc.astype(o_ref.dtype)

@@ -20,14 +20,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# .common imports FIRST: registry's module-level _import_kernels() pulls
+# in conv.py, which does `from .sgemm import PRECISIONS` — if this module
+# reaches its registry import before binding PRECISIONS, importing
+# kernels.sgemm directly (scripts) dies on the half-initialized cycle
+from .common import PRECISIONS  # noqa: F401  (canonical home; re-export)
+from .common import jdt, pad2d, pick_block, round_up, sublane
+
 from ...rtc.compute import FuncInfo
 from ..op_base import Op
 from ..registry import GenCtx, kernel_gen
 from ..tune import OpTune
-from .common import jdt, pad2d, pick_block, round_up, sublane
-
-
-from .common import PRECISIONS  # noqa: F401  (canonical home; re-export)
 
 
 def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, precision,
