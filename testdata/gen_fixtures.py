@@ -163,6 +163,80 @@ def gen_shapes10():
         print(f"wrote {fn} ({len(recs)} records)")
 
 
+def _draw_shape16(rng, cls: int) -> np.ndarray:
+    """One 32x32 RGB image for the 16-class set (VERDICT r4 missing #1:
+    deeper fixture, more classes). Classes 0-9 re-use the shapes10 shapes
+    (scaled up); 10-15 add: 10=two disks, 11=half-plane split, 12=L
+    corner, 13=plus sign, 14=concentric squares, 15=steep diagonal
+    stripes. Same philosophy: all augmentation (jitter, phase, noise)
+    lives in the generator."""
+    n = 32
+    if cls < 10:
+        base = _draw_shape10(rng, cls)  # 24x24
+        img = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+        y0 = rng.randint(0, 48 - n + 1)
+        x0 = rng.randint(0, 48 - n + 1)
+        return img[y0:y0 + n, x0:x0 + n]
+    bg = rng.randint(0, 90, size=3)
+    fg = rng.randint(165, 256, size=3)
+    img = np.empty((n, n, 3), np.uint8)
+    img[:] = bg
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    if cls == 10:  # two disks
+        r = rng.randint(4, 7)
+        for cy, cx in ((rng.randint(6, 12), rng.randint(6, 12)),
+                       (rng.randint(19, 26), rng.randint(19, 26))):
+            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = fg
+    elif cls == 11:  # half-plane split (random orientation)
+        off = rng.randint(-4, 5)
+        if rng.randint(2):
+            img[yy + off < n // 2] = fg
+        else:
+            img[xx + off < n // 2] = fg
+    elif cls == 12:  # L corner
+        t = rng.randint(4, 7)
+        y0, x0 = rng.randint(4, 10, size=2)
+        h = rng.randint(16, 24)
+        img[y0:y0 + h, x0:x0 + t] = fg
+        img[y0 + h - t:y0 + h, x0:x0 + h] = fg
+    elif cls == 13:  # plus sign
+        cy, cx = rng.randint(12, 20, size=2)
+        t = rng.randint(2, 4)
+        r = rng.randint(8, 13)
+        img[max(cy - r, 0):cy + r, cx - t:cx + t] = fg
+        img[cy - t:cy + t, max(cx - r, 0):cx + r] = fg
+    elif cls == 14:  # concentric squares
+        cy, cx = rng.randint(13, 19, size=2)
+        for r, on in ((rng.randint(11, 14), True), (rng.randint(7, 10), False),
+                      (rng.randint(3, 6), True)):
+            img[max(cy - r, 0):cy + r, max(cx - r, 0):cx + r] = \
+                fg if on else bg
+    else:  # steep diagonal stripes (distinct period/slope from cls 4/9)
+        p = rng.randint(5, 8)
+        img[((yy + 2 * xx + rng.randint(0, p)) % p) < 2] = fg
+    noise = rng.randint(-14, 15, size=(n, n, 3))
+    return np.clip(img.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+
+
+def gen_shapes16():
+    """16-class 32x32 set: substrate for the shapesnet3 bottleneck-residual
+    trained fixture (VERDICT r4 missing #1 — deeper fixture, more classes
+    than shapes10)."""
+    from boda_tpu.frontend.datum import encode_datum, rgb_to_datum, \
+        write_rec_records
+    for split, n, seed in (("train", 960, 55), ("test", 320, 550)):
+        rng = np.random.RandomState(seed)
+        recs = []
+        for i in range(n):
+            cls = i % 16
+            recs.append((f"{i:08d}",
+                         encode_datum(rgb_to_datum(_draw_shape16(rng, cls),
+                                                   label=cls))))
+        fn = os.path.join(TD, "lmdb", f"shapes16_{split}.rec")
+        write_rec_records(fn, recs)
+        print(f"wrote {fn} ({len(recs)} records)")
+
+
 def gen_velo():
     """3 packets, 12 blocks each: azimuth sweeps, ramp distances."""
     rng = np.random.RandomState(7)
@@ -266,6 +340,7 @@ if __name__ == "__main__":
     gen_rec()
     gen_shapes()
     gen_shapes10()
+    gen_shapes16()
     gen_velo()
     gen_bag()
     gen_caffemodel()
