@@ -560,9 +560,10 @@ def _nhwc_pool(pipe, op, ctx, tune, info_log):
                         .reshape(1, oy, ox, 1))
                 out = out.astype(x.dtype)
             return (out,)
+        plan = pool_plan((ind['img'], iy, ix, ind['chan']), 'float32',
+                         oy, ox, tuple(k), tuple(s), bool(avg))
         info_log.append(f"{op.name}: nhwc-pool_pallas k={k} s={s} avg={avg}"
-                        + ("" if pool_plan((ind['img'], iy, ix, ind['chan']),
-                                           'float32', oy, ox)
+                        + (f" ct={plan['ct']}" if plan
                            else " (plane>VMEM: reduce_window fallback)"))
         return _no_preps(pallas_fn)
     if tune.pool_shift:

@@ -77,18 +77,35 @@ def _pool_kernel(x_ref, div_ref, o_ref, *, k, s, pad_y, pad_x, oy, ox, avg):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def pool_plan(in_shape, dtype, oy, ox):
-    """None if the per-image plane exceeds the VMEM budget."""
+def pool_plan(in_shape, dtype, oy, ox, k=(3, 3), s=(2, 2), avg=False):
+    """Channel-block plan: the largest ct dividing C whose modeled VMEM
+    stack fits. Mosaic keeps each of the k*k dense shifted slices live on
+    the kernel stack (measured on v5e: 18.37M for the naive 112x112x64
+    bf16 3x3s2 plan vs the 16M scoped limit), so the model charges
+    k[0]*k[1] dense accumulate-extent planes plus the padded input.
+    Returns None when even ct=1 cannot fit (caller falls back)."""
     _, iy, ix, c = in_shape
-    # avg accumulates f32 register-side regardless of the storage dtype
-    bytes_per = max(jnp.dtype(dtype).itemsize, 4)
-    need = (iy * ix + oy * ox) * c * bytes_per
-    return None if need > _VMEM_BUDGET else {"full_plane": True}
+    bytes_per = 4 if avg else max(jnp.dtype(dtype).itemsize, 2)
+    span_y = (oy - 1) * s[0] + 1
+    span_x = (ox - 1) * s[1] + 1
+    per_chan = (k[0] * k[1] * span_y * span_x
+                + (iy + k[0]) * (ix + k[1]) + 2 * oy * ox) * bytes_per
+    budget = 12 * 1024 * 1024  # leave headroom under the 16M scoped limit
+    ct = c
+    while ct > 1 and per_chan * ct > budget:
+        # keep ct a divisor of c (BlockSpec grids need exact tiling)
+        nxt = ct // 2
+        while nxt > 1 and c % nxt != 0:
+            nxt -= 1
+        ct = nxt
+    if per_chan * ct > budget:
+        return None
+    return {"ct": ct}
 
 
 @functools.lru_cache(maxsize=None)
 def _build(in_shape, dtype_name, k, s, pad_y, pad_x, oy, ox, avg,
-           interpret):
+           interpret, ct):
     n, iy, ix, c = in_shape
     dt = jnp.dtype(dtype_name)
     import numpy as np
@@ -106,10 +123,11 @@ def _build(in_shape, dtype_name, k, s, pad_y, pad_x, oy, ox, avg,
                              pad_x=pad_x, oy=oy, ox=ox, avg=avg)
     call = pl.pallas_call(
         kern,
-        grid=(n,),
-        in_specs=[pl.BlockSpec((1, iy, ix, c), lambda i: (i, 0, 0, 0)),
-                  pl.BlockSpec((oy, ox), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((1, oy, ox, c), lambda i: (i, 0, 0, 0)),
+        grid=(n, c // ct),
+        in_specs=[pl.BlockSpec((1, iy, ix, ct),
+                               lambda i, j: (i, 0, 0, j)),
+                  pl.BlockSpec((oy, ox), lambda i, j: (0, 0))],
+        out_specs=pl.BlockSpec((1, oy, ox, ct), lambda i, j: (i, 0, 0, j)),
         out_shape=jax.ShapeDtypeStruct((n, oy, ox, c), dt),
         interpret=bool(interpret),
     )
@@ -148,9 +166,11 @@ def pallas_pool(x, k, s, pad_y, pad_x, oy, ox, avg,
                 interpret: bool = False):
     """NHWC pooling via the direct Pallas kernel; returns None (caller
     falls back) when the plan declines the shape."""
-    if pool_plan(x.shape, x.dtype, oy, ox) is None:
+    plan = pool_plan(x.shape, x.dtype, oy, ox, tuple(k), tuple(s),
+                     bool(avg))
+    if plan is None:
         return None
     f = _build(tuple(x.shape), str(x.dtype), tuple(k), tuple(s),
                tuple(pad_y), tuple(pad_x), oy, ox, bool(avg),
-               bool(interpret))
+               bool(interpret), plan["ct"])
     return f(x)
