@@ -58,19 +58,24 @@ def _pool_kernel(x_ref, div_ref, o_ref, *, k, s, pad_y, pad_x, oy, ox, avg):
     else:
         init = jnp.asarray(-jnp.inf, xb.dtype)
     xp = jnp.pad(xb, (pad_y, pad_x, (0, 0)), constant_values=init)
-    # two-stage separable accumulate with UNIT-stride shifted slices only
-    # (Mosaic-legal), then one phase-split subsample: m[y][x] =
-    # acc over the k-window anchored at (y, x); out = m[::sy, ::sx]
-    span_y = (oy - 1) * s[0] + k[0]
-    span_x = (ox - 1) * s[1] + k[1]
-    acc = None
+    # SEPARABLE two-stage accumulate with UNIT-stride shifted slices only
+    # (Mosaic confines vector strided slices to stride 1), then one
+    # phase-split subsample. Separability also bounds the kernel stack:
+    # the naive k*k dense accumulate kept all k^2 slices live (measured
+    # 18.37M vs the 16M scoped-vmem limit at 112x112x64); the two passes
+    # keep at most k slices + one accumulator.
+    span_y = (oy - 1) * s[0] + 1
+    span_x = (ox - 1) * s[1] + 1
+    m1 = None  # stage 1: window-acc along x at every row
+    for kx in range(k[1]):
+        v = lax.slice(xp, (0, kx, 0),
+                      (xp.shape[0], kx + span_x, xp.shape[2]))
+        m1 = v if m1 is None else (m1 + v if avg else jnp.maximum(m1, v))
+    acc = None  # stage 2: window-acc along y
     for ky in range(k[0]):
-        for kx in range(k[1]):
-            v = lax.slice(xp, (ky, kx, 0),
-                          (ky + span_y - k[0] + 1,
-                           kx + span_x - k[1] + 1, xp.shape[2]))
-            acc = v if acc is None else \
-                (acc + v if avg else jnp.maximum(acc, v))
+        v = lax.slice(m1, (ky, 0, 0), (ky + span_y, span_x, m1.shape[2]))
+        acc = v if acc is None else (acc + v if avg else
+                                     jnp.maximum(acc, v))
     acc = _subsample(acc, s[0], s[1], oy, ox)
     if avg:
         acc = acc * div_ref[...][:, :, None]
@@ -88,19 +93,20 @@ def pool_plan(in_shape, dtype, oy, ox, k=(3, 3), s=(2, 2), avg=False):
     bytes_per = 4 if avg else max(jnp.dtype(dtype).itemsize, 2)
     span_y = (oy - 1) * s[0] + 1
     span_x = (ox - 1) * s[1] + 1
-    per_chan = (k[0] * k[1] * span_y * span_x
-                + (iy + k[0]) * (ix + k[1]) + 2 * oy * ox) * bytes_per
+    # separable kernel stack: padded plane + stage-1 accumulator (+1 live
+    # slice) + stage-2 accumulator (+1 live slice) + output
+    per_chan = ((iy + k[0]) * (ix + k[1])
+                + 2 * (iy + k[0]) * span_x
+                + 2 * span_y * span_x + 2 * oy * ox) * bytes_per
     budget = 12 * 1024 * 1024  # leave headroom under the 16M scoped limit
-    ct = c
-    while ct > 1 and per_chan * ct > budget:
-        # keep ct a divisor of c (BlockSpec grids need exact tiling)
-        nxt = ct // 2
-        while nxt > 1 and c % nxt != 0:
-            nxt -= 1
-        ct = nxt
-    if per_chan * ct > budget:
-        return None
-    return {"ct": ct}
+    # lane-dim blocks must be multiples of 128 (Mosaic block-mapping
+    # rule) or the full channel extent
+    cands = [c] + [m for m in range(((c // 128) // 2) * 128, 0, -128)
+                   if c % m == 0]
+    for ct in cands:
+        if per_chan * ct <= budget:
+            return {"ct": ct}
+    return None
 
 
 @functools.lru_cache(maxsize=None)
