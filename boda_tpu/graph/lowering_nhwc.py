@@ -563,7 +563,7 @@ def _nhwc_pool(pipe, op, ctx, tune, info_log):
         plan = pool_plan((ind['img'], iy, ix, ind['chan']), 'float32',
                          oy, ox, tuple(k), tuple(s), bool(avg))
         info_log.append(f"{op.name}: nhwc-pool_pallas k={k} s={s} avg={avg}"
-                        + (f" ct={plan['ct']}" if plan
+                        + (f" plan={plan['mode']}" if plan
                            else " (plane>VMEM: reduce_window fallback)"))
         return _no_preps(pallas_fn)
     if tune.pool_shift:

@@ -82,6 +82,43 @@ def _pool_kernel(x_ref, div_ref, o_ref, *, k, s, pad_y, pad_x, oy, ox, avg):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _pool_kernel_yblk(xa_ref, xb_ref, div_ref, o_ref, *, k, s, pad_x,
+                      ob, ox, avg, nyb, halo, init_f):
+    """y-blocked variant: block j holds in rows [j*ob*sy, (j+1)*ob*sy);
+    the (k-s)-row halo comes from a SECOND view of the same array whose
+    index map is clamped to j+1 — for the last block those rows are
+    exactly the ceil-mode bottom pad, so they are masked to the init
+    value. Requires pad_y == (0, <= k-s); the caller checks."""
+    import jax
+
+    a = xa_ref[0]  # (ob*sy, ix, C)
+    if avg:
+        a = a.astype(jnp.float32)
+    init = jnp.asarray(init_f, a.dtype)
+    if halo:
+        b = xb_ref[0][:halo].astype(a.dtype)
+        j = pl.program_id(1)
+        b = jnp.where(j == nyb - 1, init, b)
+        a = jnp.concatenate([a, b], axis=0)
+    xp = jnp.pad(a, ((0, 0), pad_x, (0, 0)), constant_values=init)
+    span_y = (ob - 1) * s[0] + 1
+    span_x = (ox - 1) * s[1] + 1
+    m1 = None
+    for kx in range(k[1]):
+        v = lax.slice(xp, (0, kx, 0),
+                      (xp.shape[0], kx + span_x, xp.shape[2]))
+        m1 = v if m1 is None else (m1 + v if avg else jnp.maximum(m1, v))
+    acc = None
+    for ky in range(k[0]):
+        v = lax.slice(m1, (ky, 0, 0), (ky + span_y, span_x, m1.shape[2]))
+        acc = v if acc is None else (acc + v if avg else
+                                     jnp.maximum(acc, v))
+    acc = _subsample(acc, s[0], s[1], ob, ox)
+    if avg:
+        acc = acc * div_ref[...][:, :, None]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 def pool_plan(in_shape, dtype, oy, ox, k=(3, 3), s=(2, 2), avg=False):
     """Channel-block plan: the largest ct dividing C whose modeled VMEM
     stack fits. Mosaic keeps each of the k*k dense shifted slices live on
@@ -91,27 +128,39 @@ def pool_plan(in_shape, dtype, oy, ox, k=(3, 3), s=(2, 2), avg=False):
     Returns None when even ct=1 cannot fit (caller falls back)."""
     _, iy, ix, c = in_shape
     bytes_per = 4 if avg else max(jnp.dtype(dtype).itemsize, 2)
-    span_y = (oy - 1) * s[0] + 1
-    span_x = (ox - 1) * s[1] + 1
-    # separable kernel stack: padded plane + stage-1 accumulator (+1 live
-    # slice) + stage-2 accumulator (+1 live slice) + output
-    per_chan = ((iy + k[0]) * (ix + k[1])
-                + 2 * (iy + k[0]) * span_x
-                + 2 * span_y * span_x + 2 * oy * ox) * bytes_per
-    budget = 12 * 1024 * 1024  # leave headroom under the 16M scoped limit
-    # lane-dim blocks must be multiples of 128 (Mosaic block-mapping
-    # rule) or the full channel extent
-    cands = [c] + [m for m in range(((c // 128) // 2) * 128, 0, -128)
-                   if c % m == 0]
-    for ct in cands:
-        if per_chan * ct <= budget:
-            return {"ct": ct}
+    budget = 12 * 1024 * 1024  # headroom under the 16M scoped-vmem limit
+
+    def ru(v, m):
+        return -(-v // m) * m
+
+    def est(rows):
+        # Mosaic physical values: x on sublanes (round to 8), C on lanes
+        # (round to 128 — a 64-chan pool pays 2x); ~6 plane values live
+        # through the separable accumulate (measured 18.4M for the
+        # full-plane 112x112x64 bf16 case = ~5.5 such values)
+        width = max(ix + k[1], (ox - 1) * s[1] + 1)
+        return 6 * rows * ru(width, 8) * ru(c, 128) * bytes_per
+
+    if est(iy + k[0]) <= budget:
+        return {"mode": "full"}
+    # y-blocked fallback: block j holds rows [j*ob*sy, ...) + a clamped
+    # halo view whose last-block rows are masked to the init value. That
+    # masking is exact only when the masked halo IS the ceil-mode bottom
+    # pad, i.e. iy == oy*sy (and top pad 0 — checked by the caller);
+    # true for the target pools (r50 pool1 112->56 s2, googlenet
+    # pool1/pool2).
+    halo = max(0, k[0] - s[0])
+    if iy != oy * s[0]:
+        return None
+    for ob in [d for d in range(oy, 0, -1) if oy % d == 0]:
+        if est(ob * s[0] + halo) <= budget:
+            return {"mode": "yblk", "ob": ob, "halo": halo}
     return None
 
 
 @functools.lru_cache(maxsize=None)
 def _build(in_shape, dtype_name, k, s, pad_y, pad_x, oy, ox, avg,
-           interpret, ct):
+           interpret, mode, ob, halo):
     n, iy, ix, c = in_shape
     dt = jnp.dtype(dtype_name)
     import numpy as np
@@ -125,18 +174,46 @@ def _build(in_shape, dtype_name, k, s, pad_y, pad_x, oy, ox, avg,
         div = np.ones((oy, ox), np.float32)
     div = jnp.asarray(div)
 
-    kern = functools.partial(_pool_kernel, k=k, s=s, pad_y=pad_y,
-                             pad_x=pad_x, oy=oy, ox=ox, avg=avg)
-    call = pl.pallas_call(
-        kern,
-        grid=(n, c // ct),
-        in_specs=[pl.BlockSpec((1, iy, ix, ct),
-                               lambda i, j: (i, 0, 0, j)),
-                  pl.BlockSpec((oy, ox), lambda i, j: (0, 0))],
-        out_specs=pl.BlockSpec((1, oy, ox, ct), lambda i, j: (i, 0, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((n, oy, ox, c), dt),
-        interpret=bool(interpret),
-    )
+    if mode == "full":
+        kern = functools.partial(_pool_kernel, k=k, s=s, pad_y=pad_y,
+                                 pad_x=pad_x, oy=oy, ox=ox, avg=avg)
+        call = pl.pallas_call(
+            kern,
+            grid=(n,),
+            in_specs=[pl.BlockSpec((1, iy, ix, c),
+                                   lambda i: (i, 0, 0, 0)),
+                      pl.BlockSpec((oy, ox), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((1, oy, ox, c), lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, oy, ox, c), dt),
+            interpret=bool(interpret),
+        )
+    else:  # yblk
+        nyb = oy // ob
+        rb = ob * s[0]
+        init_f = 0.0 if avg else float("-inf")
+        kern = functools.partial(_pool_kernel_yblk, k=k, s=s, pad_x=pad_x,
+                                 ob=ob, ox=ox, avg=avg, nyb=nyb,
+                                 halo=halo, init_f=init_f)
+        inner = pl.pallas_call(
+            kern,
+            grid=(n, nyb),
+            in_specs=[
+                pl.BlockSpec((1, rb, ix, c), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, rb, ix, c),
+                             lambda i, j: (i, jnp.minimum(j + 1, nyb - 1),
+                                           0, 0)),
+                pl.BlockSpec((ob, ox), lambda i, j: (j, 0))],
+            out_specs=pl.BlockSpec((1, ob, ox, c),
+                                   lambda i, j: (i, j, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, oy, ox, c), dt),
+            interpret=bool(interpret),
+        )
+
+        def call(x, dv):
+            # trim to whole y-blocks (the clamped-halo design covers the
+            # bottom pad; rows past nyb*rb never contribute — guaranteed
+            # by pool_plan's pad_y_hi <= halo check)
+            return inner(x[:, :nyb * rb], x[:, :nyb * rb], dv)
 
     def xla_ref(x):  # the backward (and the numerics oracle): reduce_window
         if avg:
@@ -176,7 +253,10 @@ def pallas_pool(x, k, s, pad_y, pad_x, oy, ox, avg,
                      bool(avg))
     if plan is None:
         return None
+    if plan["mode"] == "yblk" and pad_y[0] != 0:
+        return None  # y-block start offsets assume no top pad
     f = _build(tuple(x.shape), str(x.dtype), tuple(k), tuple(s),
                tuple(pad_y), tuple(pad_x), oy, ox, bool(avg),
-               bool(interpret), plan["ct"])
+               bool(interpret), plan["mode"], plan.get("ob", 0),
+               plan.get("halo", 0))
     return f(x)

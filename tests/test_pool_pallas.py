@@ -59,10 +59,50 @@ def test_pool_pallas_kernel_direct():
                                        rtol=1e-6, atol=1e-6)
 
 
-def test_pool_pallas_vmem_decline():
+def test_pool_pallas_plan_modes():
     from boda_tpu.ops.kernels.pool import pool_plan
-    assert pool_plan((1, 14, 14, 8), "float32", 7, 7) is not None
-    assert pool_plan((1, 1024, 1024, 64), "float32", 512, 512) is None
+    assert pool_plan((1, 14, 14, 8), "float32", 7, 7)["mode"] == "full"
+    # the r50/googlenet 112x112x64 3x3s2 pool: full-plane blows the
+    # measured Mosaic stack -> the y-blocked plan takes over
+    p = pool_plan((32, 112, 112, 64), "bfloat16", 56, 56)
+    assert p["mode"] == "yblk" and p["halo"] == 1
+    # over-budget AND iy != oy*s (ceil geometry): decline entirely
+    assert pool_plan((1, 1025, 8192, 512), "float32", 513, 4096) is None
+
+
+def test_pool_pallas_yblk_exact():
+    """The y-blocked plan (halo view + last-block masking) must equal
+    reduce_window on the exact r50 pool1 geometry class (iy == oy*s,
+    ceil-mode bottom pad == halo) — in a size small enough to test."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from boda_tpu.ops.kernels import pool as pool_mod
+    rng = np.random.RandomState(9)
+    iy = ix = 16
+    oy = ox = 8
+    k, s = (3, 3), (2, 2)
+    pad_y = pad_x = (0, 1)
+    x = jnp.asarray(rng.randn(3, iy, ix, 5).astype(np.float32))
+    for avg in (False, True):
+        plan = {"mode": "yblk", "ob": 4, "halo": 1}
+        f = pool_mod._build((3, iy, ix, 5), "float32", k, s, pad_y, pad_x,
+                            oy, ox, avg, True, plan["mode"], plan["ob"],
+                            plan["halo"])
+        out = f(x)
+        if avg:
+            ref = lax.reduce_window(
+                x, 0.0, lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+                ((0, 0), pad_y, pad_x, (0, 0)))
+            from boda_tpu.graph.lowering_nhwc import _avg_divisor
+            ref = ref / _avg_divisor(iy, ix, k, s, (0, 0), oy, ox) \
+                .reshape(1, oy, ox, 1)
+        else:
+            ref = lax.reduce_window(
+                x, -np.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                ((0, 0), pad_y, pad_x, (0, 0)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_pool_pallas_backward_matches():
