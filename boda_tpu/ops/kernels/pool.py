@@ -78,7 +78,7 @@ def _pool_kernel(x_ref, div_ref, o_ref, *, k, s, pad_y, pad_x, oy, ox, avg):
                                      jnp.maximum(acc, v))
     acc = _subsample(acc, s[0], s[1], oy, ox)
     if avg:
-        acc = acc * div_ref[...][:, :, None]
+        acc = acc * div_ref[...]
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -115,7 +115,7 @@ def _pool_kernel_yblk(xa_ref, xb_ref, div_ref, o_ref, *, k, s, pad_x,
                                      jnp.maximum(acc, v))
     acc = _subsample(acc, s[0], s[1], ob, ox)
     if avg:
-        acc = acc * div_ref[...][:, :, None]
+        acc = acc * div_ref[...]
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -172,7 +172,10 @@ def _build(in_shape, dtype_name, k, s, pad_y, pad_x, oy, ox, avg,
             .astype(np.float32)
     else:
         div = np.ones((oy, ox), np.float32)
-    div = jnp.asarray(div)
+    # numpy, not jnp: _build is cached and may first run inside a jit
+    # trace — a jnp reshape there would bind div to that trace and leak
+    # the tracer into every later caller
+    div = np.asarray(div).reshape(oy, ox, 1)
 
     if mode == "full":
         kern = functools.partial(_pool_kernel, k=k, s=s, pad_y=pad_y,
@@ -182,7 +185,7 @@ def _build(in_shape, dtype_name, k, s, pad_y, pad_x, oy, ox, avg,
             grid=(n,),
             in_specs=[pl.BlockSpec((1, iy, ix, c),
                                    lambda i: (i, 0, 0, 0)),
-                      pl.BlockSpec((oy, ox), lambda i: (0, 0))],
+                      pl.BlockSpec((oy, ox, 1), lambda i: (0, 0, 0))],
             out_specs=pl.BlockSpec((1, oy, ox, c), lambda i: (i, 0, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n, oy, ox, c), dt),
             interpret=bool(interpret),
@@ -202,7 +205,7 @@ def _build(in_shape, dtype_name, k, s, pad_y, pad_x, oy, ox, avg,
                 pl.BlockSpec((1, rb, ix, c),
                              lambda i, j: (i, jnp.minimum(j + 1, nyb - 1),
                                            0, 0)),
-                pl.BlockSpec((ob, ox), lambda i, j: (j, 0))],
+                pl.BlockSpec((ob, ox, 1), lambda i, j: (j, 0, 0))],
             out_specs=pl.BlockSpec((1, ob, ox, c),
                                    lambda i, j: (i, j, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n, oy, ox, c), dt),
