@@ -34,6 +34,16 @@ class TrainLmdb(Mode):
     weight_decay = Field(float, default="0.0", help="decoupled weight decay")
     clip_norm = Field(float, default="1.0", help="global-norm grad clip")
     bn_momentum = Field(float, default="0.1", help="train-mode BN EMA rate")
+    # BN freeze schedule: train-mode BN (batch stats + EMA) for the first
+    # N steps, then switch to inference-stats BN using the accumulated
+    # running statistics. Measured motivation (docs/train_ceiling.md):
+    # train-mode BN costs 46% of the r50 step (the batch-stat passes, the
+    # stat adjoints, AND the lost conv prefolding) — the frozen-stats
+    # step runs 1.87x faster (60% vs 32% MFU), so a warmup-then-freeze
+    # recipe buys most of that back where the training recipe allows.
+    # 0 = never freeze.
+    bn_freeze_at = Field(int, default="0",
+                         help="switch BN to frozen running stats at this step (0=never)")
     compute_tn = Field(str, default="", help="bfloat16 = f32-master mixed precision")
     remat = Field(str, default="", help="rematerialization: '' | seg | full | dots")
     mesh = Field("lexp", default="()", help="mesh axes, e.g. (dp=2)")
@@ -73,22 +83,30 @@ class TrainLmdb(Mode):
                                  warmup_steps=self.warmup_steps,
                                  gamma=self.lr_gamma,
                                  step_size=self.lr_step_size)
-        step = make_train_step(pipe, logits, lr=self.lr,
-                               clip_norm=self.clip_norm,
-                               momentum=self.momentum,
-                               weight_decay=self.weight_decay,
-                               bn_momentum=self.bn_momentum,
-                               compute_dtype=cdt,
-                               lr_schedule=sched,
-                               remat=self.remat)
+        def build_step(bn_m):
+            return make_train_step(pipe, logits, lr=self.lr,
+                                   clip_norm=self.clip_norm,
+                                   momentum=self.momentum,
+                                   weight_decay=self.weight_decay,
+                                   bn_momentum=bn_m,
+                                   compute_dtype=cdt,
+                                   lr_schedule=sched,
+                                   remat=self.remat)
         # donate the previous weights/momentum buffers: the update writes
         # in place instead of allocating a second full copy of the state
         # every step (r50 f32 masters + momentum ≈ 200MB of HBM churn).
         # Safe: the loop rebinds to the returned state and checkpoints read
         # post-step values only. (No donation in train_bench — its timing
         # harness re-invokes the same jit with the same buffers.)
-        jstep = jax.jit(step, donate_argnums=(0, 3)
-                        if self.momentum > 0 else (0,))
+        donate = (0, 3) if self.momentum > 0 else (0,)
+        jstep = jax.jit(build_step(self.bn_momentum), donate_argnums=donate)
+        # bn_freeze_at: a SECOND jitted step with inference-stats BN (the
+        # running stats the warmup phase accumulated live in `weights`, so
+        # the swap is purely which program runs — state threads unchanged,
+        # and resume past the freeze point lands on the frozen step)
+        jstep_frozen = None
+        if self.bn_freeze_at > 0 and self.bn_momentum > 0:
+            jstep_frozen = jax.jit(build_step(0.0), donate_argnums=donate)
 
         # load all records once (the committed fixtures are small; a real
         # run streams batches — the loader is not the subject here)
@@ -139,10 +157,15 @@ class TrainLmdb(Mode):
         curve: list[tuple[int, float]] = []
         for i in range(start, self.n_steps):
             x, labels = batch_at(i)
-            out = jstep(weights, {"data": x}, labels, mom,
-                        step=jnp.int32(i)) \
+            sfn = jstep
+            if jstep_frozen is not None and i >= self.bn_freeze_at:
+                if i == self.bn_freeze_at:
+                    print(f"step {i}: BN frozen (inference running stats)")
+                sfn = jstep_frozen
+            out = sfn(weights, {"data": x}, labels, mom,
+                      step=jnp.int32(i)) \
                 if self.momentum > 0 else \
-                jstep(weights, {"data": x}, labels, step=jnp.int32(i))
+                sfn(weights, {"data": x}, labels, step=jnp.int32(i))
             if self.momentum > 0:
                 loss, weights, mom = out
             else:

@@ -168,3 +168,18 @@ def test_shapesnet2_fresh_train_accuracy_and_loss_curve(tmp_path, capsys):
     assert rc == 0
     acc = _top1(capsys.readouterr().out)
     assert acc >= 0.92, f"freshly trained shapesnet2 top1 {acc} < 0.92"
+
+
+def test_bn_freeze_at_schedule(tmp_path, capsys):
+    """bn_freeze_at: train-mode BN for the warmup steps, then the frozen
+    inference-stats step (the 1.87x-faster program, train_ceiling.md) —
+    the loop must switch programs mid-run, keep learning, and thread the
+    warmup-accumulated running stats into the frozen phase."""
+    rc = main(["train_lmdb", f"--ptt-fn={PTT2}", f"--rec-fn={TRAIN2}",
+               "--img=8", "--n-steps=20", "--lr=0.05", "--bn-momentum=0.1",
+               "--bn-freeze-at=10", "--log-every=5",
+               f"--boda-output-dir={tmp_path}"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "step 10: BN frozen (inference running stats)" in out
+    assert "improved" in out and "NOT improved" not in out
