@@ -359,11 +359,21 @@ def _greedy_nms(scores, boxes, k, nms_thresh, conf_thresh,
     return sc, b, keep
 
 
-def _detection_output_fn(op: ConvOp, n_classes: int):
+def _detection_output_fn(op: ConvOp, n_classes: int, top_k_override: int = 0):
     bg = int(op.p("background_label_id", 0))
     share = bool(op.p("share_location", True))
     nms_thresh = float(op.p("nms_threshold", 0.3))
     top_k = int(op.p("top_k", 400) or 400)
+    if top_k_override:
+        # serving knob (tune.det_top_k): the NMS candidate count is the
+        # latency knob of the detection head — the suppression loop and
+        # IoU matrix scale with it and are batch-invariant, so at
+        # latency-shaped batches the head is ~2/3 of the forward
+        # (model_census round 5: ssd300 b4 = 5.8 ms, head ~66%). Caffe
+        # parity needs the prototxt's own top_k (default 400); overriding
+        # DROPS candidates below the new rank and is an accuracy/latency
+        # trade the operator opts into per deployment.
+        top_k = top_k_override
     keep_top_k = int(op.p("keep_top_k", 200))
     conf_thresh = float(op.p("confidence_threshold", 0.01))
     code = op.p("code_type", "CENTER_SIZE")
@@ -502,5 +512,10 @@ def _nhwc_priorbox(pipe, op, ctx, tune, info_log):
 
 @nhwc_rule("DetectionOutput")
 def _nhwc_detout(pipe, op, ctx, tune, info_log):
-    fn = _detection_output_fn(op, int(op.p("num_classes")))
+    k_over = int(getattr(tune, "det_top_k", 0))
+    if k_over:
+        info_log.append(f"{op.name}: det_top_k={k_over} (serving latency "
+                        f"knob; caffe parity uses the prototxt top_k)")
+    fn = _detection_output_fn(op, int(op.p("num_classes")),
+                              top_k_override=k_over)
     return _no_preps(_nhwc_logicalize(pipe, op, fn, n_data_bots=3))

@@ -105,6 +105,12 @@ class OpTune:
     # measured null, this is the kernel-level answer). Declines planes
     # that exceed the VMEM budget (falls back to reduce_window).
     pool_pallas: int = 0
+    # DetectionOutput NMS candidate count override (0 = the prototxt's
+    # top_k). The suppression loop + IoU matrix scale with it and are
+    # batch-invariant — the latency knob for detection serving (ssd300
+    # b4: head ~66% of 5.8 ms at the caffe-parity 400). Opt-in accuracy/
+    # latency trade; see graph/ssd_ops._detection_output_fn.
+    det_top_k: int = 0
     # precision / layout
     acc_tn: str = "float32"   # accumulation dtype (always f32 on MXU)
     in_tn: str = ""           # compute dtype override ('' = keep input dtype)

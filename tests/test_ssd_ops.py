@@ -347,3 +347,38 @@ def test_greedy_nms_fixpoint_matches_loop():
                                           np.asarray(keep_b))
             np.testing.assert_array_equal(np.asarray(sc_a),
                                           np.asarray(sc_b))
+
+
+def test_det_top_k_serving_knob():
+    """tune.det_top_k: override == the prototxt top_k is exact; a smaller
+    override still yields valid (possibly fewer) detections — the opt-in
+    latency knob for the batch-invariant NMS head."""
+    from boda_tpu.config import make
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.kernels.gen_data import gen_data_pattern
+    from boda_tpu.utils.dims import NDA
+    from boda_tpu.utils.lexp import parse_lexp
+
+    pipe, in_dims = build_model("ssd300", img=1, in_sz=300)
+    d = in_dims["data"]
+    x = NDA(d, np.asarray(gen_data_pattern(d.shape, d.tn)))
+
+    def run(**kw):
+        eng = make("conv_fwd", "pallas", **kw)
+        eng.init(pipe)
+        return np.asarray(
+            eng.run_fwd({"data": x}, ["detection_out"])["detection_out"]
+            .data, np.float32).reshape(-1, 7)
+
+    base = run()
+    same = run(per_op_tune={"detection_out": parse_lexp("(det_top_k=400)")})
+    np.testing.assert_array_equal(base, same)
+    small = run(per_op_tune={"detection_out": parse_lexp("(det_top_k=64)")})
+    v_base = base[base[:, 1] >= 0]
+    v_small = small[small[:, 1] >= 0]
+    assert 0 < len(v_small) <= len(v_base)
+    sc = v_small[:, 2]
+    assert np.isfinite(sc).all() and (sc >= 0).all() and (sc <= 1).all()
+    # the small-k detections are a subset-rank phenomenon: its top-scoring
+    # detection must also be (near) the full run's top score
+    assert abs(v_small[:, 2].max() - v_base[:, 2].max()) < 1e-6
