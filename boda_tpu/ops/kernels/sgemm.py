@@ -133,11 +133,22 @@ def pallas_matmul(a, b, bias=None, *, bm: int, bn: int, bk: int, out_dtype=None,
 
 
 def pick_matmul_blocks(M: int, K: int, N: int, tune: OpTune, tn: str):
-    """Clamp the tune's blocks to the problem and MXU/VMEM alignment."""
+    """Clamp the tune's blocks to the problem and MXU/VMEM alignment.
+
+    Large-problem default upgrade (measured, v5e 2026-08-21,
+    docs/gen_vs_lib.md round-5 sweep): at >=1024^3 the (256,256,512)
+    default is HBM-bound by operand re-reads — each operand re-loads
+    grid_n/grid_m times. 512-wide tiles quarter the re-reads and lift
+    bf16 sgemm from 0.56 to 0.79-0.81 of the XLA dot. Applied only when
+    the tune still carries the stock defaults (an explicit tune wins)."""
+    tm, tn_, tk = tune.bm, tune.bn, tune.bk
+    if ((tm, tn_, tk) == (256, 256, 512) and tn != "float32"
+            and min(M, N) >= 1024 and K >= 1024):
+        tm, tn_, tk = 512, 512, 1024
     sl = sublane(tn)
-    bm = pick_block(tune.bm, M, sl)
-    bn = pick_block(tune.bn, N, 128)
-    bk = pick_block(tune.bk, K, 128 if tn != "float32" else 128)
+    bm = pick_block(tm, M, sl)
+    bn = pick_block(tn_, N, 128)
+    bk = pick_block(tk, K, 128 if tn != "float32" else 128)
     return bm, bn, bk
 
 
