@@ -1,19 +1,24 @@
-"""Direct Pallas pooling kernel (NHWC).
+"""Direct Pallas pooling kernel (NHWC) — built, hardware-measured NULL.
 
 Parity target: the reference's dedicated pooling kernel (ref
 test/rtc/pool.cucl — max/avg with caffe window clipping) vs leaving
-pooling to the XLA reduce_window emitter. The emitter is the pathology
-this kernel exists to dodge: googlenet pool2 runs at ~7x its HBM floor
-and r50 pool1 scales 4x-over-linear at b64 (docs/model_census.md,
-mfu_ceiling.md) — and the two source-level escapes (pool_shift,
-pool_bview) measured null, so VERDICT r4 #5 asks for the direct kernel.
+pooling to the XLA reduce_window emitter, whose per-shape pathologies
+(googlenet pool2 at ~7x its HBM floor; the b64 pool1 scaling) survived
+both source-level escapes (pool_shift, pool_bview) — VERDICT r4 #5
+asked for the kernel-level answer. This is it, and the verdict is in
+docs/model_census.md: the working kernel measures 0.59x (googlenet
+pools) / 0.70x (r50 b64 pool1) WHOLE-NET vs reduce_window, which
+streams the plane at HBM bandwidth with no VMEM residency requirement.
+The knob (tune.pool_pallas) stays for future toolchains.
 
-Design: one grid cell per image; the full (iy, ix, C) plane loads to
-VMEM, window accumulation happens register-side as k*k shifted strided
-slices of the (-inf / 0)-padded block (a max/add tree — pure VPU work at
-memory bandwidth), and the (oy, ox, C) plane stores back. Traffic is the
-HBM floor: read x once, write out once. Planes larger than the VMEM
-budget decline (caller falls back to reduce_window).
+Three Mosaic caps shaped the surviving design (each probed on v5e):
+strided vector slices are confined to stride 1 (the stride lives in a
+phase-split reshape subsample); the kernel stack is scoped to 16M VMEM
+with C<128 paying lane padding (the accumulate is SEPARABLE, x-pass
+then y-pass, bounding live values to k slices + one accumulator); and
+lane-dim blocks must be 128-multiples, so large planes block over
+ROWS, with the k-s halo delivered by a second clamped-index view whose
+last-block rows are masked (exact when iy == oy*s).
 
 The jittable wrapper carries a custom VJP whose backward is the XLA
 reduce_window adjoint (Mosaic kernels have no auto-VJP; pooling backward
@@ -29,9 +34,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-
-_VMEM_BUDGET = 10 * 1024 * 1024  # bytes of in+out plane per grid cell
-
 
 def _subsample(v, sy, sx, oy, ox):
     """Mosaic-legal strided subsample: v[::sy, ::sx] for a (Y, X, C)
